@@ -1,0 +1,40 @@
+"""Test configuration: CPU backend with an 8-device virtual mesh + f64.
+
+Mirrors the reference test strategy (SURVEY.md §4): deterministic math unit
+tests run in double precision; multi-device sharding is validated on a virtual
+CPU mesh (no TPU hardware needed for correctness tests).
+"""
+
+import os
+
+# XLA_FLAGS must be set before the CPU backend initializes (lazily, on first
+# use) — conftest import is early enough even though sitecustomize may have
+# already imported jax.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize registers a remote-TPU ("axon") platform and
+# sets JAX_PLATFORMS=axon at interpreter startup; override via jax.config,
+# which wins over the env var. Tests run on CPU in f64.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def cpu_mesh_devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest should provide 8 virtual CPU devices"
+    return devs
