@@ -1,0 +1,21 @@
+"""Sliding-window BA solver (TPU replacement for Ceres SPARSE_SCHUR+DOGLEG)."""
+
+from .assemble import NormalEqs, evaluate, marg_delta_chi  # noqa: F401
+from .optimize import (  # noqa: F401
+    SolveDiagnostics,
+    apply_update,
+    dense_dim_mask,
+    optimize_window,
+    solve_normal_eqs,
+)
+from .structure import (  # noqa: F401
+    BaProblem,
+    ImuLinks,
+    MargPrior,
+    Observations,
+    PosePriors,
+    SbPriors,
+    WindowConfig,
+    WindowStates,
+    empty_problem,
+)

@@ -1,0 +1,210 @@
+"""Batched factor evaluation + normal-equation assembly.
+
+Replaces Ceres' residual-block evaluation + SPARSE_SCHUR assembly
+(/root/reference/okvis_ceres/src/Estimator.cpp:842-906 drives ceres::Solve)
+with fully vectorized evaluation: all reprojection factors evaluate under one
+vmap per camera, IMU/prior factors under small vmaps, and the normal equations
+are assembled with one-hot matmuls (MXU work, no host-side graph walk).
+
+Gauss-Newton convention: cost = ½Σρ(|r|²);  H δ = b  with  H = ΣJᵀJ (robust
+weighted), b = -ΣJᵀr.  The Cauchy robustifier follows Ceres' corrector: for
+ρ''≤0 (always true for Cauchy) residual and Jacobian scale by sqrt(ρ').
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..factors.imu_factor import imu_error
+from ..factors.priors import pose_error, speed_and_bias_error
+from ..factors.reprojection import reprojection_error
+from ..imu.preintegration import ImuParams
+from ..kinematics import se3
+from ..kinematics.se3 import SE3
+from .structure import BaProblem, WindowConfig, WindowStates
+
+
+class NormalEqs(NamedTuple):
+    H_dd: jnp.ndarray  # (D, D) dense (poses + speed/bias + extrinsics)
+    b_d: jnp.ndarray  # (D,)
+    H_ll: jnp.ndarray  # (L, 3, 3) landmark blocks
+    b_l: jnp.ndarray  # (L, 3)
+    W: jnp.ndarray  # (L, D, 3) dense-landmark coupling
+    cost: jnp.ndarray  # scalar total cost
+
+
+def _cauchy_weight(cfg: WindowConfig, sq_norm: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(cost, sqrt(ρ')) for Cauchy loss ρ(s) = a² log(1+s/a²)."""
+    a2 = cfg.cauchy_scale * cfg.cauchy_scale
+    cost = 0.5 * a2 * jnp.log1p(sq_norm / a2)
+    w = 1.0 / (1.0 + sq_norm / a2)
+    return cost, jnp.sqrt(w)
+
+
+def marg_delta_chi(cfg: WindowConfig, states: WindowStates, marg) -> jnp.ndarray:
+    """Δχ = current ⊟ FEJ linearization point over the dense vector
+    (ref MarginalizationError::computeDeltaChi, MarginalizationError.cpp:849-946)."""
+    d_pose = se3.minus(
+        SE3(r=marg.r_WS_lin, q=marg.q_WS_lin), SE3(r=states.r_WS, q=states.q_WS)
+    )  # (S, 6)
+    d_sb = states.speed_and_bias - marg.sb_lin  # (S, 9)
+    d_states = jnp.concatenate([d_pose, d_sb], axis=-1).reshape(-1)  # (S*15,)
+    d_ext = se3.minus(
+        SE3(r=marg.r_SC_lin, q=marg.q_SC_lin), SE3(r=states.r_SC, q=states.q_SC)
+    ).reshape(-1)  # (C*6,)
+    return jnp.concatenate([d_states, d_ext])
+
+
+def evaluate(
+    cfg: WindowConfig,
+    imu_params: ImuParams,
+    intrinsics: List[jnp.ndarray],
+    problem: BaProblem,
+    states: WindowStates,
+) -> NormalEqs:
+    """Evaluate every factor at `states` and assemble GN normal equations."""
+    dtype = states.r_WS.dtype
+    S, C, L, O = cfg.num_states, cfg.num_cameras, cfg.max_landmarks, cfg.max_observations
+    D = cfg.dense_dim
+    obs = problem.obs
+
+    # ---------------- reprojection factors ----------------
+    T_WS_o = SE3(r=states.r_WS[obs.state_idx], q=states.q_WS[obs.state_idx])
+    hp_o = states.hp_W[obs.lm_idx]
+
+    res = jnp.zeros((O, 2), dtype)
+    J_pose = jnp.zeros((O, 2, 6), dtype)
+    J_ext = jnp.zeros((O, 2, 6), dtype)
+    J_hp = jnp.zeros((O, 2, 3), dtype)
+    for c in range(C):
+        spec = cfg.camera_specs[c]
+        T_SC = SE3(r=states.r_SC[c], q=states.q_SC[c])
+
+        def one(kp, w, T_ws, hp):
+            return reprojection_error(spec, intrinsics[c], kp, w, T_ws, hp, T_SC)
+
+        r_c, J_c, _valid = jax.vmap(one)(obs.keypoint, obs.sqrt_info, T_WS_o, hp_o)
+        sel = (obs.cam_idx == c)[:, None]
+        res = jnp.where(sel, r_c, res)
+        J_pose = jnp.where(sel[..., None], J_c.J_pose, J_pose)
+        J_ext = jnp.where(sel[..., None], J_c.J_ext, J_ext)
+        J_hp = jnp.where(sel[..., None], J_c.J_hp, J_hp)
+
+    m = obs.mask[:, None].astype(dtype)
+    res = res * m
+    # robust (Cauchy) weighting — Ceres corrector with ρ''<0 ⇒ sqrt(ρ') scaling
+    sq = jnp.sum(res * res, axis=-1)
+    rep_cost, w_r = _cauchy_weight(cfg, sq)
+    cost = jnp.sum(rep_cost * obs.mask)
+    res = res * w_r[:, None]
+    scale = (w_r[:, None, None] * m[..., None])
+    J_pose = J_pose * scale
+    J_hp = J_hp * scale
+    if cfg.estimate_extrinsics:
+        J_ext = J_ext * scale
+    else:
+        J_ext = jnp.zeros_like(J_ext)
+
+    # dense 12-column block per observation: [pose(6) | extrinsics(6)]
+    J12 = jnp.concatenate([J_pose, J_ext], axis=-1)  # (O, 2, 12)
+    col_base = jnp.arange(6, dtype=jnp.int32)
+    cols = jnp.concatenate(
+        [
+            obs.state_idx[:, None] * 15 + col_base[None, :],
+            S * 15 + obs.cam_idx[:, None] * 6 + col_base[None, :],
+        ],
+        axis=1,
+    )  # (O, 12)
+    # one-hot expansion → MXU matmuls for H/b/W (TPU-first; no scatters)
+    E = jax.nn.one_hot(cols, D, dtype=dtype)  # (O, 12, D)
+    J_full = jnp.einsum("oik,okd->oid", J12, E)  # (O, 2, D)
+    H_dd = jnp.einsum("oid,oie->de", J_full, J_full)
+    b_d = -jnp.einsum("oid,oi->d", J_full, res)
+
+    # landmark blocks + coupling, grouped by landmark via one-hot matmul
+    M = jax.nn.one_hot(obs.lm_idx, L, dtype=dtype) * m  # (O, L)
+    HJ = jnp.einsum("oik,oil->okl", J_hp, J_hp)  # (O, 3, 3)
+    H_ll = jnp.einsum("okl,om->mkl", HJ, M)
+    b_l = -jnp.einsum("oik,oi,om->mk", J_hp, res, M)
+    WD = jnp.einsum("oid,oik->odk", J_full, J_hp)  # (O, D, 3)
+    W = jnp.einsum("odk,om->mdk", WD, M)
+
+    # ---------------- IMU link factors ----------------
+    links = problem.imu_links
+
+    def eval_link(pre, ia, ib):
+        T0 = SE3(r=states.r_WS[ia], q=states.q_WS[ia])
+        T1 = SE3(r=states.r_WS[ib], q=states.q_WS[ib])
+        return imu_error(
+            imu_params, pre, T0, states.speed_and_bias[ia], T1, states.speed_and_bias[ib]
+        )
+
+    imu_res, imu_J = jax.vmap(eval_link)(links.pre, links.idx_a, links.idx_b)
+    lm_mask_f = links.mask.astype(dtype)
+    imu_res = imu_res * lm_mask_f[:, None]
+    cost = cost + 0.5 * jnp.sum(imu_res * imu_res)
+    # 30 dense columns: pose_a(6) sb_a(9) pose_b(6) sb_b(9)
+    J30 = jnp.concatenate(
+        [imu_J.J_pose0, imu_J.J_sb0, imu_J.J_pose1, imu_J.J_sb1], axis=-1
+    ) * lm_mask_f[:, None, None]  # (K, 15, 30)
+    cols_imu = jnp.concatenate(
+        [
+            links.idx_a[:, None] * 15 + jnp.arange(15, dtype=jnp.int32)[None, :],
+            links.idx_b[:, None] * 15 + jnp.arange(15, dtype=jnp.int32)[None, :],
+        ],
+        axis=1,
+    )  # (K, 30)
+    E_imu = jax.nn.one_hot(cols_imu, D, dtype=dtype)
+    Jf = jnp.einsum("kij,kjd->kid", J30, E_imu)
+    H_dd = H_dd + jnp.einsum("kid,kie->de", Jf, Jf)
+    b_d = b_d - jnp.einsum("kid,ki->d", Jf, imu_res)
+
+    # ---------------- pose priors ----------------
+    pp = problem.pose_priors
+
+    def eval_pp(idx, r_meas, q_meas, W6):
+        T = SE3(r=states.r_WS[idx], q=states.q_WS[idx])
+        return pose_error(SE3(r=r_meas, q=q_meas), W6, T)
+
+    pp_res, pp_J = jax.vmap(eval_pp)(pp.state_idx, pp.r_meas, pp.q_meas, pp.sqrt_info)
+    ppm = pp.mask.astype(dtype)
+    pp_res = pp_res * ppm[:, None]
+    pp_J = pp_J * ppm[:, None, None]
+    cost = cost + 0.5 * jnp.sum(pp_res * pp_res)
+    cols_pp = pp.state_idx[:, None] * 15 + jnp.arange(6, dtype=jnp.int32)[None, :]
+    E_pp = jax.nn.one_hot(cols_pp, D, dtype=dtype)
+    Jf = jnp.einsum("kij,kjd->kid", pp_J, E_pp)
+    H_dd = H_dd + jnp.einsum("kid,kie->de", Jf, Jf)
+    b_d = b_d - jnp.einsum("kid,ki->d", Jf, pp_res)
+
+    # ---------------- speed/bias priors ----------------
+    sp = problem.sb_priors
+
+    def eval_sp(idx, sb_meas, W9):
+        return speed_and_bias_error(sb_meas, W9, states.speed_and_bias[idx])
+
+    sp_res, sp_J = jax.vmap(eval_sp)(sp.state_idx, sp.sb_meas, sp.sqrt_info)
+    spm = sp.mask.astype(dtype)
+    sp_res = sp_res * spm[:, None]
+    sp_J = sp_J * spm[:, None, None]
+    cost = cost + 0.5 * jnp.sum(sp_res * sp_res)
+    cols_sp = sp.state_idx[:, None] * 15 + 6 + jnp.arange(9, dtype=jnp.int32)[None, :]
+    E_sp = jax.nn.one_hot(cols_sp, D, dtype=dtype)
+    Jf = jnp.einsum("kij,kjd->kid", sp_J, E_sp)
+    H_dd = H_dd + jnp.einsum("kid,kie->de", Jf, Jf)
+    b_d = b_d - jnp.einsum("kid,ki->d", Jf, sp_res)
+
+    # ---------------- marginalization prior ----------------
+    marg = problem.marg
+    dchi = marg_delta_chi(cfg, states, marg)
+    mv = marg.valid.astype(dtype)
+    H_dd = H_dd + mv * marg.H
+    b_d = b_d + mv * (marg.b0 - marg.H @ dchi)
+    cost = cost + mv * 0.5 * (
+        marg.c0 - 2.0 * jnp.dot(marg.b0, dchi) + dchi @ marg.H @ dchi
+    )
+
+    return NormalEqs(H_dd=H_dd, b_d=b_d, H_ll=H_ll, b_l=b_l, W=W, cost=cost)

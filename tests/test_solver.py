@@ -1,0 +1,104 @@
+"""Sliding-window BA solver tests — analog of reference TestEstimator
+(/root/reference/okvis_ceres/test/TestEstimator.cpp:52-238): synthetic world,
+perturb, optimize, assert recovery within the reference tolerances
+(T_WS within 0.1 m / 1e-2 rad, speed/bias within 0.04; TestEstimator.cpp:229-236)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from okvis_tpu import kinematics as kin
+from okvis_tpu.solver import apply_update, evaluate, optimize_window
+
+from helpers import build_synthetic_problem
+
+
+@pytest.fixture(scope="module")
+def world():
+    return build_synthetic_problem()
+
+
+def perturb_problem(problem, truth, rng, pose_scale=0.05, lm_scale=0.1):
+    """Perturb every state except the prior-anchored first one + landmarks."""
+    S = truth["r_WS"].shape[0]
+    states = problem.states
+    d = jnp.asarray(
+        np.concatenate(
+            [
+                np.zeros((1, 6)),
+                rng.normal(0, pose_scale, (S - 1, 6)),
+            ]
+        )
+    )
+    new_pose = kin.oplus(kin.SE3(r=states.r_WS[:S], q=states.q_WS[:S]), d)
+    sb_noise = jnp.asarray(
+        np.concatenate([np.zeros((1, 9)), rng.normal(0, pose_scale, (S - 1, 9))])
+    )
+    n_lm = truth["n_landmarks"]
+    lm_noise = jnp.asarray(rng.normal(0, lm_scale, (n_lm, 3)))
+    states = states._replace(
+        r_WS=states.r_WS.at[:S].set(new_pose.r),
+        q_WS=states.q_WS.at[:S].set(new_pose.q),
+        speed_and_bias=states.speed_and_bias.at[:S].add(sb_noise),
+        hp_W=states.hp_W.at[:n_lm, :3].add(lm_noise),
+    )
+    return problem._replace(states=states)
+
+
+def test_cost_at_truth_is_small(world):
+    cfg, imu_params, intrinsics, problem, truth = world
+    eqs = evaluate(cfg, imu_params, intrinsics, problem, problem.states)
+    # whitened cost at ground truth ~ 0.5 * #residual-dims (pixel noise)
+    n_res = 2 * truth["num_obs"]
+    assert float(eqs.cost) < 1.5 * n_res
+
+
+def test_gradient_zero_masked_dims(world):
+    cfg, imu_params, intrinsics, problem, truth = world
+    eqs = evaluate(cfg, imu_params, intrinsics, problem, problem.states)
+    D = cfg.dense_dim
+    assert eqs.H_dd.shape == (D, D)
+    # symmetric
+    np.testing.assert_allclose(np.asarray(eqs.H_dd), np.asarray(eqs.H_dd.T), atol=1e-6)
+
+
+def test_optimize_recovers_truth(world, rng):
+    cfg, imu_params, intrinsics, problem, truth = world
+    perturbed = perturb_problem(problem, truth, rng)
+    opt = jax.jit(
+        functools.partial(optimize_window, cfg, imu_params, intrinsics)
+    )
+    states, diag = opt(perturbed)
+
+    S = truth["r_WS"].shape[0]
+    r_err = np.abs(np.asarray(states.r_WS[:S]) - truth["r_WS"]).max()
+    # orientation error
+    dq = kin.quat_multiply(
+        kin.quat_conjugate(states.q_WS[:S]), jnp.asarray(truth["q_WS"])
+    )
+    ang_err = float(jnp.max(2 * jnp.arccos(jnp.clip(jnp.abs(dq[:, 3]), 0, 1))))
+    sb_err = np.abs(
+        np.asarray(states.speed_and_bias[:S]) - truth["sb"]
+    ).max()
+
+    # reference tolerances (TestEstimator.cpp:229-236)
+    assert r_err < 0.1, f"position error {r_err}"
+    assert ang_err < 1e-2, f"orientation error {ang_err}"
+    assert sb_err < 0.04, f"speed/bias error {sb_err}"
+    # cost must have decreased substantially
+    eqs0 = evaluate(cfg, imu_params, intrinsics, perturbed, perturbed.states)
+    assert float(diag.final_cost) < 0.1 * float(eqs0.cost)
+
+
+def test_optimize_is_jit_stable(world, rng):
+    """Same shapes -> no retrace; different values -> same compiled program."""
+    cfg, imu_params, intrinsics, problem, truth = world
+    opt = jax.jit(functools.partial(optimize_window, cfg, imu_params, intrinsics))
+    p1 = perturb_problem(problem, truth, rng)
+    p2 = perturb_problem(problem, truth, rng)
+    s1, _ = opt(p1)
+    s2, _ = opt(p2)
+    assert opt._cache_size() == 1
