@@ -1,0 +1,863 @@
+"""Sliding-window estimator: host bookkeeping + jitted device steps.
+
+TPU-native re-design of the reference okvis::Estimator
+(/root/reference/okvis_ceres/include/okvis/Estimator.hpp:77,
+src/Estimator.cpp:110-1306). The mutable ceres::Problem graph becomes:
+
+- host (numpy/python): id↔slot maps, observation/link/prior tables, keyframe
+  flags, landmark records, FEJ freeze flags — the role of ceres::Map's
+  bidirectional bookkeeping (Map.hpp:63), cheap and O(window).
+- device (jit): three retrace-free programs — batched re-preintegration of all
+  IMU links, the LM/Schur optimize step (solver.optimize_window), and the FEJ
+  marginalization step (estimator.marginalization.marginalize_system on an
+  evaluate() of the absorbed factors).
+
+Window semantics follow the reference exactly:
+- addStates (Estimator.cpp:110-343): first frame initializes from gravity with
+  position+yaw pose prior (info 1e8) and speed/bias prior; later frames
+  propagate the previous state and add an IMU link factor.
+- applyMarginalizationStrategy (Estimator.cpp:434-773): keep the newest
+  numImuFrames states; older frames lose their speed/bias (absorbed with the
+  IMU link into the prior); non-keyframes/overflow keyframes lose their pose;
+  landmark triage (delete / ignore-observation / marginalize) matches the
+  reference's hasNewObservations / obsCount rules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import kinematics as kin
+from ..cameras.ncamera import NCameraSystem
+from ..imu.preintegration import ImuParams, init_pose_from_imu, preintegrate, propagate
+from ..kinematics.se3 import SE3
+from ..solver import (
+    BaProblem,
+    WindowConfig,
+    empty_problem,
+    optimize_window,
+)
+from ..solver.assemble import evaluate
+from ..solver.optimize import dense_dim_mask
+from ..utils.ids import IdProvider
+from .marginalization import marginalize_system
+
+
+@dataclasses.dataclass
+class StateRecord:
+    id: int
+    timestamp: float  # seconds (host keeps float64 seconds; ns at the pipeline)
+    slot: int
+    is_keyframe: bool
+    sb_active: bool = True  # False once speed/bias marginalized
+    fej_frozen: bool = False  # linearization point frozen in the prior
+
+
+@dataclasses.dataclass
+class LandmarkRecord:
+    id: int
+    slot: int
+    initialized: bool
+    quality: float = 0.0
+
+
+@dataclasses.dataclass
+class Observation:
+    lm_id: int
+    pose_id: int
+    cam_idx: int
+    keypoint_idx: int
+    keypoint: np.ndarray  # (2,)
+    size: float  # keypoint size -> information 64/size² (implementation/Estimator.hpp:62-66)
+
+
+@dataclasses.dataclass
+class ImuLinkRecord:
+    id_a: int
+    id_b: int
+    ts: np.ndarray  # (P,) seconds, padded
+    gyro: np.ndarray  # (P, 3)
+    acc: np.ndarray  # (P, 3)
+    t0: float
+    t1: float
+
+
+class Estimator:
+    """Host-side sliding-window VIO backend (VioBackendInterface equivalent,
+    /root/reference/okvis_common/include/okvis/VioBackendInterface.hpp:67)."""
+
+    def __init__(
+        self,
+        rig: NCameraSystem,
+        imu_params: ImuParams,
+        num_keyframes: int = 5,
+        num_imu_frames: int = 3,
+        cfg: Optional[WindowConfig] = None,
+        dtype=jnp.float64,
+    ):
+        self.rig = rig
+        self.imu_params = imu_params
+        self.num_keyframes = num_keyframes
+        self.num_imu_frames = num_imu_frames
+        self.dtype = dtype
+        S = num_keyframes + num_imu_frames + 1  # +1: new frame before marginalization
+        self.cfg = cfg or WindowConfig(
+            num_states=S,
+            num_cameras=rig.num_cameras,
+            camera_specs=tuple(rig.specs),
+            max_imu_links=S - 1,
+            max_pose_priors=2,
+            max_sb_priors=2,
+        )
+        self.intrinsics = [jnp.asarray(i, dtype=dtype) for i in rig.intrinsics]
+
+        # host state
+        self.states: Dict[int, StateRecord] = {}  # insertion-ordered by time
+        self.landmarks: Dict[int, LandmarkRecord] = {}
+        self._lm_slot_to_id: Dict[int, int] = {}
+        self._free_state_slots = list(range(self.cfg.num_states))[::-1]
+        self._free_lm_slots = list(range(self.cfg.max_landmarks))[::-1]
+        self.observations: List[Observation] = []
+        self.imu_links: List[ImuLinkRecord] = []
+        self.pose_priors: List[dict] = []
+        self.sb_priors: List[dict] = []
+
+        # numpy mirrors of window variables (slot-indexed)
+        S, C, L = self.cfg.num_states, self.cfg.num_cameras, self.cfg.max_landmarks
+        self.r_WS = np.zeros((S, 3))
+        self.q_WS = np.tile([0.0, 0, 0, 1], (S, 1))
+        self.sb = np.zeros((S, 9))
+        self.hp_W = np.tile([0.0, 0, 0, 1], (L, 1))
+        self.r_SC = np.array(rig.T_SC.r, dtype=np.float64)
+        self.q_SC = np.array(rig.T_SC.q, dtype=np.float64)
+
+        # FEJ linearization points + marginal prior (numpy mirrors)
+        self.fej_r_WS = self.r_WS.copy()
+        self.fej_q_WS = self.q_WS.copy()
+        self.fej_sb = self.sb.copy()
+        D = self.cfg.dense_dim
+        self.marg_H = np.zeros((D, D))
+        self.marg_b0 = np.zeros(D)
+        self.marg_c0 = 0.0
+        self.marg_valid = False
+
+        self._jit_cache: Dict[str, object] = {}
+
+    # ------------------------------------------------------------------
+    # jitted device programs (built lazily, one per config)
+    # ------------------------------------------------------------------
+    @property
+    def _optimize_fn(self):
+        if "opt" not in self._jit_cache:
+            self._jit_cache["opt"] = jax.jit(
+                functools.partial(optimize_window, self.cfg, self.imu_params, self.intrinsics)
+            )
+        return self._jit_cache["opt"]
+
+    @property
+    def _preintegrate_fn(self):
+        if "pre" not in self._jit_cache:
+            self._jit_cache["pre"] = jax.jit(
+                jax.vmap(preintegrate, in_axes=(None, 0, 0, 0, 0, 0, 0)),
+                static_argnums=(),
+            )
+        return self._jit_cache["pre"]
+
+    @property
+    def _marginalize_fn(self):
+        if "marg" not in self._jit_cache:
+
+            def marg_step(problem, marg_dense, keep_dense, marg_lm):
+                eqs = evaluate(
+                    self.cfg, self.imu_params, self.intrinsics, problem, problem.states
+                )
+                return marginalize_system(
+                    self.cfg, eqs, marg_dense, keep_dense, marg_lm, 2.0 * eqs.cost
+                )
+
+            self._jit_cache["marg"] = jax.jit(marg_step)
+        return self._jit_cache["marg"]
+
+    @property
+    def _landmark_quality_fn(self):
+        if "lmq" not in self._jit_cache:
+
+            def lm_quality(problem):
+                eqs = evaluate(
+                    self.cfg, self.imu_params, self.intrinsics, problem, problem.states
+                )
+                w = jnp.linalg.eigvalsh(eqs.H_ll)  # (L, 3) ascending
+                quality = jnp.where(
+                    w[:, 0] < 1e-12, 0.0, jnp.sqrt(w[:, 0]) / jnp.sqrt(jnp.maximum(w[:, 2], 1e-300))
+                )
+                return quality
+
+            self._jit_cache["lmq"] = jax.jit(lm_quality)
+        return self._jit_cache["lmq"]
+
+    # ------------------------------------------------------------------
+    # state management (ref Estimator::addStates, Estimator.cpp:110-343)
+    # ------------------------------------------------------------------
+    def add_states(
+        self,
+        timestamp: float,
+        imu_ts: np.ndarray,
+        imu_gyro: np.ndarray,
+        imu_acc: np.ndarray,
+        as_keyframe: bool = False,
+        frame_id: Optional[int] = None,
+    ) -> int:
+        """Create a new window state at `timestamp` from IMU propagation.
+
+        imu_* must cover [previous state time, timestamp] (the pipeline slices
+        with ±0.02 s overlap, ThreadedKFVio.cpp:663-697)."""
+        state_id = frame_id if frame_id is not None else IdProvider.new_id()
+        if not self.states:
+            T_WS = init_pose_from_imu(jnp.asarray(imu_acc.mean(axis=0), dtype=self.dtype))
+            sb = np.zeros(9)
+            sb[6:9] = np.asarray(self.imu_params.a0)
+        else:
+            last = self._last_state()
+            T_prev = SE3(
+                r=jnp.asarray(self.r_WS[last.slot], dtype=self.dtype),
+                q=jnp.asarray(self.q_WS[last.slot], dtype=self.dtype),
+            )
+            T_WS, sb_j = propagate(
+                self.imu_params,
+                T_prev,
+                jnp.asarray(self.sb[last.slot], dtype=self.dtype),
+                jnp.asarray(imu_ts, dtype=self.dtype),
+                jnp.asarray(imu_gyro, dtype=self.dtype),
+                jnp.asarray(imu_acc, dtype=self.dtype),
+                jnp.asarray(last.timestamp, dtype=self.dtype),
+                jnp.asarray(timestamp, dtype=self.dtype),
+            )
+            sb = np.asarray(sb_j)
+
+        if not self._free_state_slots:
+            raise RuntimeError("window full — call apply_marginalization_strategy")
+        slot = self._free_state_slots.pop()
+        rec = StateRecord(
+            id=state_id, timestamp=float(timestamp), slot=slot, is_keyframe=as_keyframe
+        )
+        self.states[state_id] = rec
+        self.r_WS[slot] = np.array(T_WS.r)
+        self.q_WS[slot] = np.array(T_WS.q)
+        self.sb[slot] = sb
+
+        if len(self.states) == 1:
+            # first frame: position+yaw pose prior (info 1e8) + speed/bias
+            # prior (Estimator.cpp:238-285)
+            sqrt_info_pose = np.diag([1e4, 1e4, 1e4, 0.0, 0.0, 1e4])
+            self.pose_priors.append(
+                dict(
+                    pose_id=state_id,
+                    r=self.r_WS[slot].copy(),
+                    q=self.q_WS[slot].copy(),
+                    sqrt_info=sqrt_info_pose,
+                )
+            )
+            sbg = float(self.imu_params.sigma_bg)
+            sba = float(self.imu_params.sigma_ba)
+            sqrt_info_sb = np.diag([1.0] * 3 + [1.0 / sbg] * 3 + [1.0 / sba] * 3)
+            self.sb_priors.append(
+                dict(pose_id=state_id, sb=sb.copy(), sqrt_info=sqrt_info_sb)
+            )
+        else:
+            # IMU link to the previous state
+            last = [s for s in self.states.values() if s.id != state_id][-1]
+            P = self.cfg.imu_samples
+            ts_p, gy_p, ac_p = self._pad_imu(imu_ts, imu_gyro, imu_acc, P)
+            self.imu_links.append(
+                ImuLinkRecord(
+                    id_a=last.id,
+                    id_b=state_id,
+                    ts=ts_p,
+                    gyro=gy_p,
+                    acc=ac_p,
+                    t0=last.timestamp,
+                    t1=float(timestamp),
+                )
+            )
+        return state_id
+
+    @staticmethod
+    def _pad_imu(ts, gyro, acc, P):
+        n = len(ts)
+        if n > P:
+            raise ValueError(f"IMU window {n} exceeds capacity {P}")
+        ts_p = np.full(P, ts[-1], dtype=np.float64)
+        gy_p = np.tile(gyro[-1], (P, 1)).astype(np.float64)
+        ac_p = np.tile(acc[-1], (P, 1)).astype(np.float64)
+        ts_p[:n], gy_p[:n], ac_p[:n] = ts, gyro, acc
+        return ts_p, gy_p, ac_p
+
+    def _last_state(self) -> StateRecord:
+        return next(reversed(self.states.values()))
+
+    def _states_by_time(self) -> List[StateRecord]:
+        return sorted(self.states.values(), key=lambda s: s.timestamp)
+
+    # ------------------------------------------------------------------
+    # landmarks / observations (ref Estimator::addLandmark/addObservation)
+    # ------------------------------------------------------------------
+    def add_landmark(self, lm_id: int, point_W: np.ndarray, initialized: bool = True) -> None:
+        if lm_id in self.landmarks:
+            raise ValueError(f"landmark {lm_id} already added")
+        if not self._free_lm_slots:
+            raise RuntimeError("landmark table full")
+        slot = self._free_lm_slots.pop()
+        self.landmarks[lm_id] = LandmarkRecord(id=lm_id, slot=slot, initialized=initialized)
+        self._lm_slot_to_id[slot] = lm_id
+        hp = np.asarray(point_W, dtype=np.float64)
+        if hp.shape[-1] == 3:
+            hp = np.concatenate([hp, [1.0]])
+        self.hp_W[slot] = hp
+
+    def is_landmark_added(self, lm_id: int) -> bool:
+        return lm_id in self.landmarks
+
+    def add_observation(
+        self, lm_id: int, pose_id: int, cam_idx: int, keypoint: np.ndarray,
+        keypoint_idx: int = 0, size: float = 1.0,
+    ) -> None:
+        """information = 64/size² · I₂ with Cauchy loss
+        (implementation/Estimator.hpp:62-77)."""
+        self.observations.append(
+            Observation(
+                lm_id=lm_id,
+                pose_id=pose_id,
+                cam_idx=cam_idx,
+                keypoint_idx=keypoint_idx,
+                keypoint=np.asarray(keypoint, dtype=np.float64),
+                size=float(size),
+            )
+        )
+
+    def remove_observation(self, lm_id: int, pose_id: int, cam_idx: int, keypoint_idx: int) -> bool:
+        for i, o in enumerate(self.observations):
+            if (
+                o.lm_id == lm_id
+                and o.pose_id == pose_id
+                and o.cam_idx == cam_idx
+                and o.keypoint_idx == keypoint_idx
+            ):
+                self.observations.pop(i)
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # problem assembly (host → device)
+    # ------------------------------------------------------------------
+    def _build_problem(self, pre=None) -> BaProblem:
+        cfg = self.cfg
+        p = empty_problem(cfg, dtype=self.dtype)
+        S, L = cfg.num_states, cfg.max_landmarks
+
+        state_mask = np.zeros(S, bool)
+        sb_mask = np.ones(S, bool)
+        for s in self.states.values():
+            state_mask[s.slot] = True
+            sb_mask[s.slot] = s.sb_active
+        lm_mask = np.zeros(L, bool)
+        for lm in self.landmarks.values():
+            lm_mask[lm.slot] = True
+
+        states = p.states._replace(
+            r_WS=jnp.asarray(self.r_WS, self.dtype),
+            q_WS=jnp.asarray(self.q_WS, self.dtype),
+            speed_and_bias=jnp.asarray(self.sb, self.dtype),
+            r_SC=jnp.asarray(self.r_SC, self.dtype),
+            q_SC=jnp.asarray(self.q_SC, self.dtype),
+            hp_W=jnp.asarray(self.hp_W, self.dtype),
+        )
+
+        # observations
+        O = cfg.max_observations
+        live_obs = [
+            o
+            for o in self.observations
+            if o.pose_id in self.states and o.lm_id in self.landmarks
+        ]
+        if len(live_obs) > O:
+            raise RuntimeError(f"{len(live_obs)} observations exceed capacity {O}")
+        obs = p.obs
+        if live_obs:
+            o_state = np.array([self.states[o.pose_id].slot for o in live_obs], np.int32)
+            o_cam = np.array([o.cam_idx for o in live_obs], np.int32)
+            o_lm = np.array([self.landmarks[o.lm_id].slot for o in live_obs], np.int32)
+            o_kp = np.stack([o.keypoint for o in live_obs])
+            o_w = np.array([8.0 / o.size for o in live_obs])  # sqrt(64/size²)
+            n = len(live_obs)
+            obs = obs._replace(
+                state_idx=obs.state_idx.at[:n].set(jnp.asarray(o_state)),
+                cam_idx=obs.cam_idx.at[:n].set(jnp.asarray(o_cam)),
+                lm_idx=obs.lm_idx.at[:n].set(jnp.asarray(o_lm)),
+                keypoint=obs.keypoint.at[:n].set(jnp.asarray(o_kp, self.dtype)),
+                sqrt_info=obs.sqrt_info.at[:n].set(jnp.asarray(o_w, self.dtype)),
+                mask=obs.mask.at[:n].set(True),
+            )
+
+        # IMU links: re-preintegrate all at current biases (the reference
+        # re-preintegrates when ‖Δb_g‖Δt > 1e-4, ImuError.cpp:549-558 — on
+        # TPU the batched scan is cheap enough to always refresh)
+        links = p.imu_links
+        if self.imu_links:
+            K = len(self.imu_links)
+            if K > cfg.max_imu_links:
+                raise RuntimeError("too many IMU links")
+            if pre is None:
+                pre = self._preintegrate_fn(
+                    self.imu_params,
+                    jnp.asarray(np.stack([l.ts for l in self.imu_links]), self.dtype),
+                    jnp.asarray(np.stack([l.gyro for l in self.imu_links]), self.dtype),
+                    jnp.asarray(np.stack([l.acc for l in self.imu_links]), self.dtype),
+                    jnp.asarray(np.array([l.t0 for l in self.imu_links]), self.dtype),
+                    jnp.asarray(np.array([l.t1 for l in self.imu_links]), self.dtype),
+                    jnp.asarray(
+                        np.stack([self.sb[self.states[l.id_a].slot] for l in self.imu_links]),
+                        self.dtype,
+                    ),
+                )
+            links = links._replace(
+                pre=jax.tree_util.tree_map(
+                    lambda full, new: full.at[:K].set(new[:K]), links.pre, pre
+                ),
+                idx_a=links.idx_a.at[:K].set(
+                    jnp.asarray([self.states[l.id_a].slot for l in self.imu_links], jnp.int32)
+                ),
+                idx_b=links.idx_b.at[:K].set(
+                    jnp.asarray([self.states[l.id_b].slot for l in self.imu_links], jnp.int32)
+                ),
+                mask=links.mask.at[:K].set(True),
+            )
+
+        # priors
+        pp = p.pose_priors
+        for i, pr in enumerate(self.pose_priors[: cfg.max_pose_priors]):
+            if pr["pose_id"] not in self.states:
+                continue
+            pp = pp._replace(
+                state_idx=pp.state_idx.at[i].set(self.states[pr["pose_id"]].slot),
+                r_meas=pp.r_meas.at[i].set(jnp.asarray(pr["r"], self.dtype)),
+                q_meas=pp.q_meas.at[i].set(jnp.asarray(pr["q"], self.dtype)),
+                sqrt_info=pp.sqrt_info.at[i].set(jnp.asarray(pr["sqrt_info"], self.dtype)),
+                mask=pp.mask.at[i].set(True),
+            )
+        sp = p.sb_priors
+        for i, pr in enumerate(self.sb_priors[: cfg.max_sb_priors]):
+            if pr["pose_id"] not in self.states:
+                continue
+            sp = sp._replace(
+                state_idx=sp.state_idx.at[i].set(self.states[pr["pose_id"]].slot),
+                sb_meas=sp.sb_meas.at[i].set(jnp.asarray(pr["sb"], self.dtype)),
+                sqrt_info=sp.sqrt_info.at[i].set(jnp.asarray(pr["sqrt_info"], self.dtype)),
+                mask=sp.mask.at[i].set(True),
+            )
+
+        marg = p.marg._replace(
+            H=jnp.asarray(self.marg_H, self.dtype),
+            b0=jnp.asarray(self.marg_b0, self.dtype),
+            c0=jnp.asarray(self.marg_c0, self.dtype),
+            r_WS_lin=jnp.asarray(self.fej_r_WS, self.dtype),
+            q_WS_lin=jnp.asarray(self.fej_q_WS, self.dtype),
+            sb_lin=jnp.asarray(self.fej_sb, self.dtype),
+            r_SC_lin=jnp.asarray(self.r_SC, self.dtype),
+            q_SC_lin=jnp.asarray(self.q_SC, self.dtype),
+            valid=jnp.asarray(self.marg_valid),
+        )
+
+        return p._replace(
+            states=states,
+            state_mask=jnp.asarray(state_mask),
+            sb_mask=jnp.asarray(sb_mask),
+            lm_mask=jnp.asarray(lm_mask),
+            obs=obs,
+            imu_links=links,
+            pose_priors=pp,
+            sb_priors=sp,
+            marg=marg,
+        )
+
+    # ------------------------------------------------------------------
+    # optimize (ref Estimator::optimize, Estimator.cpp:842-906)
+    # ------------------------------------------------------------------
+    def optimize(self, verbose: bool = False):
+        problem = self._build_problem()
+        states, diag = self._optimize_fn(problem)
+        # pull back results
+        self.r_WS = np.array(states.r_WS)
+        self.q_WS = np.array(states.q_WS)
+        self.sb = np.array(states.speed_and_bias)
+        self.hp_W = np.array(states.hp_W)
+        if self.cfg.estimate_extrinsics:
+            self.r_SC = np.array(states.r_SC)
+            self.q_SC = np.array(states.q_SC)
+        # landmark quality (Estimator.cpp:880-900)
+        quality = np.asarray(self._landmark_quality_fn(problem._replace(states=states)))
+        for lm in self.landmarks.values():
+            lm.quality = float(quality[lm.slot])
+        if verbose:
+            print(
+                f"optimize: cost {float(diag.final_cost):.3f} "
+                f"accepted {np.asarray(diag.accepted).sum()}/{self.cfg.max_iterations}"
+            )
+        return diag
+
+    # ------------------------------------------------------------------
+    # marginalization (ref Estimator::applyMarginalizationStrategy)
+    # ------------------------------------------------------------------
+    def apply_marginalization_strategy(self) -> List[int]:
+        """Returns ids of removed landmarks."""
+        by_time = self._states_by_time()
+        if len(by_time) <= self.num_imu_frames:
+            return []
+        old_frames = by_time[: -self.num_imu_frames]  # beyond the IMU horizon
+        # newest-first like the reference reverse iteration
+        old_newest_first = old_frames[::-1]
+        remove_frames: List[StateRecord] = []
+        counted_kf = 0
+        for s in old_newest_first:
+            if (not s.is_keyframe) or counted_kf >= self.num_keyframes:
+                remove_frames.append(s)
+            else:
+                counted_kf += 1
+        all_linearized = [s.id for s in old_newest_first]
+        if not all_linearized:
+            return []
+        current_kf_id = all_linearized[0]
+        remove_ids = {s.id for s in remove_frames}
+
+        # --- collect what to absorb ---
+        absorb_links: List[ImuLinkRecord] = []
+        absorb_sb_priors: List[dict] = []
+        marg_sb_states: List[StateRecord] = []
+        for s in old_frames:
+            if not s.sb_active:
+                continue
+            marg_sb_states.append(s)
+            s.sb_active = False
+            for l in list(self.imu_links):
+                if l.id_a == s.id or l.id_b == s.id:
+                    absorb_links.append(l)
+                    self.imu_links.remove(l)
+            for pr in list(self.sb_priors):
+                if pr["pose_id"] == s.id:
+                    absorb_sb_priors.append(pr)
+                    self.sb_priors.remove(pr)
+
+        # pose priors on removed frames: drop + re-fixation (Estimator.cpp:571-577, 760-772)
+        redo_fixation = False
+        for s in remove_frames:
+            for pr in list(self.pose_priors):
+                if pr["pose_id"] == s.id:
+                    self.pose_priors.remove(pr)
+                    redo_fixation = True
+
+        # --- landmark triage (Estimator.cpp:624-725) ---
+        # absorbed observations carry their landmark slot (the landmark record
+        # is removed only after the marginalization step consumed the slot)
+        absorb_obs: List[Tuple[Observation, int]] = []
+        removed_landmark_ids: List[int] = []
+        pending_lm_removal: List[int] = []
+        marg_lm_slots: List[int] = []
+        if remove_frames:
+            lin_set = set(all_linearized)
+            for lm_id in list(self.landmarks.keys()):
+                lm_slot = self.landmarks[lm_id].slot
+                lm_obs = [o for o in self.observations if o.lm_id == lm_id]
+                if not lm_obs:
+                    pending_lm_removal.append(lm_id)
+                    removed_landmark_ids.append(lm_id)
+                    continue
+                obs_in_removed = [o for o in lm_obs if o.pose_id in remove_ids]
+                if not obs_in_removed:
+                    continue  # skipLandmark
+                has_new = any(o.pose_id >= current_kf_id for o in lm_obs)
+                marginalize = not has_new
+                obs_count = sum(1 for o in lm_obs if o.pose_id in lin_set)
+                error_term_added = False
+                for o in list(lm_obs):
+                    if (o.pose_id in remove_ids and has_new) or (
+                        o.pose_id not in lin_set and marginalize
+                    ):
+                        self.observations.remove(o)
+                        lm_obs.remove(o)
+                    elif marginalize and o.pose_id in lin_set:
+                        if obs_count < 2:
+                            self.observations.remove(o)
+                            lm_obs.remove(o)
+                        else:
+                            absorb_obs.append((o, lm_slot))
+                            self.observations.remove(o)
+                            lm_obs.remove(o)
+                            error_term_added = True
+                if not lm_obs:
+                    if error_term_added:
+                        marg_lm_slots.append(lm_slot)
+                    pending_lm_removal.append(lm_id)
+                    removed_landmark_ids.append(lm_id)
+                elif marginalize and error_term_added:
+                    # should not happen: marginalize implies all obs absorbed/removed
+                    marg_lm_slots.append(lm_slot)
+                    pending_lm_removal.append(lm_id)
+                    removed_landmark_ids.append(lm_id)
+
+        # --- freeze FEJ points of involved kept blocks ---
+        involved_ids = set()
+        for l in absorb_links:
+            involved_ids.update((l.id_a, l.id_b))
+        for o, _slot in absorb_obs:
+            involved_ids.add(o.pose_id)
+        for s in marg_sb_states + remove_frames:
+            involved_ids.add(s.id)
+        for sid in involved_ids:
+            if sid in self.states:
+                s = self.states[sid]
+                if not s.fej_frozen:
+                    self.fej_r_WS[s.slot] = self.r_WS[s.slot]
+                    self.fej_q_WS[s.slot] = self.q_WS[s.slot]
+                    self.fej_sb[s.slot] = self.sb[s.slot]
+                    s.fej_frozen = True
+
+        # --- build masks ---
+        S = self.cfg.num_states
+        D = self.cfg.dense_dim
+        marg_dense = np.zeros(D, bool)
+        for s in marg_sb_states:
+            marg_dense[s.slot * 15 + 6 : s.slot * 15 + 15] = True
+        for s in remove_frames:
+            marg_dense[s.slot * 15 : s.slot * 15 + 6] = True
+        marg_lm_mask = np.zeros(self.cfg.max_landmarks, bool)
+        for slot in marg_lm_slots:
+            marg_lm_mask[slot] = True
+
+        any_marg = marg_dense.any() or marg_lm_mask.any()
+        if any_marg and (absorb_links or absorb_obs or absorb_sb_priors or self.marg_valid):
+            problem = self._build_marg_problem(
+                absorb_links, absorb_obs, absorb_sb_priors, marg_lm_slots, marg_lm_mask
+            )
+            keep_dense = np.asarray(
+                dense_dim_mask(
+                    self.cfg,
+                    np.asarray(problem.state_mask) | self._prior_covered_state_mask(),
+                    None,
+                )
+            ) & ~marg_dense
+            out = self._marginalize_fn(
+                problem,
+                jnp.asarray(marg_dense),
+                jnp.asarray(keep_dense),
+                jnp.asarray(marg_lm_mask),
+            )
+            self.marg_H = np.array(out.H)
+            self.marg_b0 = np.array(out.b0)
+            self.marg_c0 = float(out.c0)
+            self.marg_valid = True
+
+        # --- now free the marginalized/deleted landmarks ---
+        for lm_id in pending_lm_removal:
+            self._remove_landmark(lm_id)
+
+        # --- drop removed frames ---
+        for s in remove_frames:
+            del self.states[s.id]
+            self._free_state_slots.append(s.slot)
+            # slot is clean in the prior (its dims were just eliminated)
+            self.states_slot_reset(s.slot)
+        # drop dangling observations of removed frames (already handled by triage,
+        # but catch strays)
+        self.observations = [o for o in self.observations if o.pose_id in self.states]
+
+        if redo_fixation and self.states:
+            oldest = self._states_by_time()[0]
+            sqrt_info = np.diag([1e7, 1e7, 1e7, 0.0, 0.0, 1e7])
+            self.pose_priors.append(
+                dict(
+                    pose_id=oldest.id,
+                    r=self.r_WS[oldest.slot].copy(),
+                    q=self.q_WS[oldest.slot].copy(),
+                    sqrt_info=sqrt_info,
+                )
+            )
+        return removed_landmark_ids
+
+    def _prior_covered_state_mask(self) -> np.ndarray:
+        m = np.zeros(self.cfg.num_states, bool)
+        for s in self.states.values():
+            if s.fej_frozen:
+                m[s.slot] = True
+        return m
+
+    def states_slot_reset(self, slot: int) -> None:
+        i0 = slot * 15
+        self.marg_H[i0 : i0 + 15, :] = 0.0
+        self.marg_H[:, i0 : i0 + 15] = 0.0
+        self.marg_b0[i0 : i0 + 15] = 0.0
+
+    def _remove_landmark(self, lm_id: int) -> None:
+        lm = self.landmarks.pop(lm_id)
+        self._free_lm_slots.append(lm.slot)
+        self._lm_slot_to_id.pop(lm.slot, None)
+        self.observations = [o for o in self.observations if o.lm_id != lm_id]
+
+    def _build_marg_problem(
+        self, absorb_links, absorb_obs, absorb_sb_priors, marg_lm_slots, marg_lm_mask
+    ) -> BaProblem:
+        """Problem holding exactly the factors to absorb, with states at FEJ
+        linearization points (frozen for prior-covered states, current for
+        the landmarks being eliminated)."""
+        cfg = self.cfg
+        p = empty_problem(cfg, dtype=self.dtype)
+
+        states = p.states._replace(
+            r_WS=jnp.asarray(self.fej_r_WS, self.dtype),
+            q_WS=jnp.asarray(self.fej_q_WS, self.dtype),
+            speed_and_bias=jnp.asarray(self.fej_sb, self.dtype),
+            r_SC=jnp.asarray(self.r_SC, self.dtype),
+            q_SC=jnp.asarray(self.q_SC, self.dtype),
+            hp_W=jnp.asarray(self.hp_W, self.dtype),
+        )
+        state_mask = np.zeros(cfg.num_states, bool)
+        for s in self.states.values():
+            state_mask[s.slot] = True
+
+        obs = p.obs
+        if absorb_obs:
+            n = len(absorb_obs)
+            obs = obs._replace(
+                state_idx=obs.state_idx.at[:n].set(
+                    jnp.asarray(
+                        [self.states[o.pose_id].slot for o, _ in absorb_obs], jnp.int32
+                    )
+                ),
+                cam_idx=obs.cam_idx.at[:n].set(
+                    jnp.asarray([o.cam_idx for o, _ in absorb_obs], jnp.int32)
+                ),
+                lm_idx=obs.lm_idx.at[:n].set(
+                    jnp.asarray([slot for _, slot in absorb_obs], jnp.int32)
+                ),
+                keypoint=obs.keypoint.at[:n].set(
+                    jnp.asarray(np.stack([o.keypoint for o, _ in absorb_obs]), self.dtype)
+                ),
+                sqrt_info=obs.sqrt_info.at[:n].set(
+                    jnp.asarray([8.0 / o.size for o, _ in absorb_obs], self.dtype)
+                ),
+                mask=obs.mask.at[:n].set(True),
+            )
+
+        links = p.imu_links
+        if absorb_links:
+            K = len(absorb_links)
+            pre = self._preintegrate_fn(
+                self.imu_params,
+                jnp.asarray(np.stack([l.ts for l in absorb_links]), self.dtype),
+                jnp.asarray(np.stack([l.gyro for l in absorb_links]), self.dtype),
+                jnp.asarray(np.stack([l.acc for l in absorb_links]), self.dtype),
+                jnp.asarray(np.array([l.t0 for l in absorb_links]), self.dtype),
+                jnp.asarray(np.array([l.t1 for l in absorb_links]), self.dtype),
+                jnp.asarray(
+                    np.stack(
+                        [self.fej_sb[self.states[l.id_a].slot] for l in absorb_links]
+                    ),
+                    self.dtype,
+                ),
+            )
+            links = links._replace(
+                pre=jax.tree_util.tree_map(
+                    lambda full, new: full.at[:K].set(new[:K]), links.pre, pre
+                ),
+                idx_a=links.idx_a.at[:K].set(
+                    jnp.asarray([self.states[l.id_a].slot for l in absorb_links], jnp.int32)
+                ),
+                idx_b=links.idx_b.at[:K].set(
+                    jnp.asarray([self.states[l.id_b].slot for l in absorb_links], jnp.int32)
+                ),
+                mask=links.mask.at[:K].set(True),
+            )
+
+        sp = p.sb_priors
+        for i, pr in enumerate(absorb_sb_priors[: cfg.max_sb_priors]):
+            sp = sp._replace(
+                state_idx=sp.state_idx.at[i].set(self.states[pr["pose_id"]].slot),
+                sb_meas=sp.sb_meas.at[i].set(jnp.asarray(pr["sb"], self.dtype)),
+                sqrt_info=sp.sqrt_info.at[i].set(jnp.asarray(pr["sqrt_info"], self.dtype)),
+                mask=sp.mask.at[i].set(True),
+            )
+
+        marg = p.marg._replace(
+            H=jnp.asarray(self.marg_H, self.dtype),
+            b0=jnp.asarray(self.marg_b0, self.dtype),
+            c0=jnp.asarray(self.marg_c0, self.dtype),
+            r_WS_lin=jnp.asarray(self.fej_r_WS, self.dtype),
+            q_WS_lin=jnp.asarray(self.fej_q_WS, self.dtype),
+            sb_lin=jnp.asarray(self.fej_sb, self.dtype),
+            r_SC_lin=jnp.asarray(self.r_SC, self.dtype),
+            q_SC_lin=jnp.asarray(self.q_SC, self.dtype),
+            valid=jnp.asarray(self.marg_valid),
+        )
+
+        lm_mask = jnp.asarray(marg_lm_mask)
+        return p._replace(
+            states=states,
+            state_mask=jnp.asarray(state_mask),
+            lm_mask=lm_mask,
+            obs=obs,
+            imu_links=links,
+            sb_priors=sp,
+            marg=marg,
+        )
+
+    # ------------------------------------------------------------------
+    # getters/setters (ref Estimator.hpp:424-556)
+    # ------------------------------------------------------------------
+    def get_T_WS(self, state_id: int) -> kin.SE3:
+        s = self.states[state_id]
+        return kin.SE3(r=jnp.asarray(self.r_WS[s.slot]), q=jnp.asarray(self.q_WS[s.slot]))
+
+    def set_T_WS(self, state_id: int, T: kin.SE3) -> None:
+        s = self.states[state_id]
+        self.r_WS[s.slot] = np.asarray(T.r)
+        self.q_WS[s.slot] = np.asarray(T.q)
+
+    def get_speed_and_bias(self, state_id: int) -> np.ndarray:
+        return self.sb[self.states[state_id].slot].copy()
+
+    def set_speed_and_bias(self, state_id: int, sb: np.ndarray) -> None:
+        self.sb[self.states[state_id].slot] = np.asarray(sb)
+
+    def get_landmark(self, lm_id: int) -> np.ndarray:
+        return self.hp_W[self.landmarks[lm_id].slot].copy()
+
+    def set_landmark(self, lm_id: int, hp: np.ndarray) -> None:
+        hp = np.asarray(hp, dtype=np.float64)
+        if hp.shape[-1] == 3:
+            hp = np.concatenate([hp, [1.0]])
+        self.hp_W[self.landmarks[lm_id].slot] = hp
+
+    def set_keyframe(self, state_id: int, is_keyframe: bool) -> None:
+        self.states[state_id].is_keyframe = is_keyframe
+
+    def is_keyframe(self, state_id: int) -> bool:
+        return self.states[state_id].is_keyframe
+
+    def num_frames(self) -> int:
+        return len(self.states)
+
+    def num_landmarks(self) -> int:
+        return len(self.landmarks)
+
+    def current_frame_id(self) -> int:
+        return self._last_state().id
+
+    def get_extrinsics(self, cam_idx: int) -> kin.SE3:
+        return kin.SE3(r=jnp.asarray(self.r_SC[cam_idx]), q=jnp.asarray(self.q_SC[cam_idx]))
+
+    def landmark_observation_count(self, lm_id: int) -> int:
+        return sum(1 for o in self.observations if o.lm_id == lm_id)

@@ -1,0 +1,148 @@
+"""BRISK-style binary descriptor with gravity-aligned extraction direction.
+
+TPU-native replacement for the external brisk-2.0.5 descriptor extractor the
+reference wires up in /root/reference/okvis_frontend/src/Frontend.cpp:107-110
+and :833-843: a radially-symmetric sampling pattern of smoothed intensity
+points; short-distance point pairs compare into a 512-bit binary string. The
+reference rotates the pattern per keypoint to the *gravity direction projected
+into the image* (extractionDirection, Frontend.cpp:92-110) instead of an
+estimated orientation — we do the same, which makes the rotation a single
+per-frame angle: the whole extraction is one batched gather + compare.
+
+Pattern: 4 concentric rings (+ center), 60 points, following the BRISK layout
+(N per ring, radius, per-ring smoothing sigma); pairs are the 512 shortest
+point pairs (the classic "short pairs" with distance < 9.75·scale).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .detection import Keypoints, _sep_blur, gaussian_kernel
+
+DESCRIPTOR_BITS = 512
+DESCRIPTOR_WORDS = DESCRIPTOR_BITS // 32
+
+
+def _build_pattern() -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (points (60,2), point_sigma (60,), pair_i (512,), pair_j (512,)).
+
+    Ring layout (radius in px at scale 1, #points, sigma): BRISK-like.
+    """
+    rings = [
+        (0.0, 1, 0.7),
+        (2.9, 10, 0.8),
+        (4.9, 14, 1.1),
+        (7.4, 15, 1.6),
+        (10.8, 20, 2.3),
+    ]
+    pts, sig = [], []
+    for r, n, s in rings:
+        for k in range(n):
+            a = 2 * np.pi * k / n + (0.5 if r > 0 else 0.0) * np.pi / n
+            pts.append([r * np.cos(a), r * np.sin(a)])
+            sig.append(s)
+    pts = np.asarray(pts, dtype=np.float32)
+    sig = np.asarray(sig, dtype=np.float32)
+    # all pairs sorted by distance; take the 512 shortest non-degenerate
+    n = len(pts)
+    ii, jj = np.triu_indices(n, k=1)
+    d = np.linalg.norm(pts[ii] - pts[jj], axis=1)
+    order = np.argsort(d, kind="stable")
+    sel = order[:DESCRIPTOR_BITS]
+    return pts, sig, ii[sel].astype(np.int32), jj[sel].astype(np.int32)
+
+
+_PATTERN_PTS, _PATTERN_SIG, _PAIR_I, _PAIR_J = _build_pattern()
+# distinct smoothing sigmas -> blur pyramid levels
+_SIGMAS = np.unique(_PATTERN_SIG)
+_PT_LEVEL = np.searchsorted(_SIGMAS, _PATTERN_SIG).astype(np.int32)
+
+
+def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    H, W = img.shape
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def describe_keypoints(
+    img: jnp.ndarray,  # (H, W) float
+    keypoints: Keypoints,
+    extraction_angle: jnp.ndarray = None,  # scalar radians; gravity-aligned
+) -> jnp.ndarray:
+    """Extract (K, 16) uint32 packed 512-bit descriptors.
+
+    extraction_angle rotates the sampling pattern (one angle per frame, from
+    the gravity direction in the image — Frontend.cpp:107-110). None = 0.
+    """
+    img = img.astype(jnp.float32)
+    if extraction_angle is None:
+        extraction_angle = jnp.asarray(0.0, jnp.float32)
+
+    # blur pyramid: one smoothed image per distinct pattern sigma
+    levels = jnp.stack([_sep_blur(img, gaussian_kernel(float(s))) for s in _SIGMAS])
+
+    ca, sa = jnp.cos(extraction_angle), jnp.sin(extraction_angle)
+    R = jnp.asarray([[0.0, 0.0], [0.0, 0.0]]).at[0, 0].set(ca).at[0, 1].set(-sa).at[1, 0].set(sa).at[1, 1].set(ca)
+    pts = jnp.asarray(_PATTERN_PTS) @ R.T  # (60, 2) rotated offsets
+    pt_level = jnp.asarray(_PT_LEVEL)
+
+    def one_kp(uv):
+        xs = uv[0] + pts[:, 0]
+        ys = uv[1] + pts[:, 1]
+        # gather each point from its blur level
+        def sample(level_idx, x, y):
+            vals = jax.vmap(lambda lv: _bilinear(lv, x, y))(levels)  # (n_levels,)
+            return vals[level_idx]
+
+        samples = jax.vmap(sample)(pt_level, xs, ys)  # (60,)
+        bits = (samples[jnp.asarray(_PAIR_I)] < samples[jnp.asarray(_PAIR_J)]).astype(
+            jnp.uint32
+        )  # (512,)
+        words = bits.reshape(DESCRIPTOR_WORDS, 32)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        return jnp.sum(words << shifts, axis=1, dtype=jnp.uint32)
+
+    return jax.vmap(one_kp)(keypoints.uv)
+
+
+def gravity_extraction_angle(g_in_camera: jnp.ndarray) -> jnp.ndarray:
+    """Angle of the gravity direction projected into the image plane.
+
+    g_in_camera: (3,) gravity direction in camera coordinates
+    (C_CW @ [0,0,-1]); the image-plane projection (x, y) defines the pattern
+    rotation so descriptors stay comparable under camera roll
+    (Frontend.cpp:92-110)."""
+    return jnp.arctan2(g_in_camera[1], g_in_camera[0])
+
+
+def detect_and_describe(
+    img: jnp.ndarray,
+    threshold: float = 30.0,
+    max_keypoints: int = 400,
+    extraction_angle: jnp.ndarray = None,
+):
+    """Convenience: detection + description in one call (jit once)."""
+    from .detection import detect_keypoints
+
+    kps = detect_keypoints(img, threshold=threshold, max_keypoints=max_keypoints)
+    desc = describe_keypoints(img, kps, extraction_angle)
+    return kps, desc

@@ -1,0 +1,135 @@
+"""Keypoint detection: Harris corner score + NMS + top-K selection.
+
+TPU-native replacement for the reference's BRISK ScaleSpaceFeatureDetector
+with HarrisScoreCalculator (external brisk-2.0.5 lib, wired up at
+/root/reference/okvis_frontend/src/Frontend.cpp:813-843; EuRoC config runs a
+single octave with threshold 40 and ≤400 keypoints,
+config/config_fpga_p2_euroc.yaml:66-68).
+
+Everything is fixed-shape: detection always returns `max_keypoints` slots with
+a validity mask, so downstream description/matching never retraces. The whole
+detect+describe path is one jitted XLA program per image batch; convolutions
+and the top-k ride XLA's native TPU lowerings.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Keypoints(NamedTuple):
+    uv: jnp.ndarray  # (K, 2) float pixel coordinates (x, y)
+    score: jnp.ndarray  # (K,)
+    mask: jnp.ndarray  # (K,) bool
+
+
+def _shift(img, dy, dx):
+    """Shifted copy with edge padding (img: (H, W))."""
+    return jnp.roll(img, (dy, dx), axis=(0, 1))
+
+
+def _sep_blur(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Separable 1D blur along both axes via depthwise conv."""
+    k = kernel / jnp.sum(kernel)
+    pad = (len(k) - 1) // 2
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
+    x = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"), in_axes=1, out_axes=1)(x)
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
+    x = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"), in_axes=0, out_axes=0)(x)
+    return x
+
+
+def gaussian_kernel(sigma: float, radius: int = None) -> jnp.ndarray:
+    radius = radius or max(1, int(3.0 * sigma + 0.5))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def harris_response(img: jnp.ndarray, k: float = 0.04) -> jnp.ndarray:
+    """Harris corner response on a (H, W) float image in [0, 255]."""
+    img = img.astype(jnp.float32)
+    # Scharr gradients (better rotational symmetry than Sobel)
+    gx = (
+        3.0 * (_shift(img, -1, -1) - _shift(img, -1, 1))
+        + 10.0 * (_shift(img, 0, -1) - _shift(img, 0, 1))
+        + 3.0 * (_shift(img, 1, -1) - _shift(img, 1, 1))
+    ) / 32.0
+    gy = (
+        3.0 * (_shift(img, -1, -1) - _shift(img, 1, -1))
+        + 10.0 * (_shift(img, -1, 0) - _shift(img, 1, 0))
+        + 3.0 * (_shift(img, -1, 1) - _shift(img, 1, 1))
+    ) / 32.0
+    gk = gaussian_kernel(1.5)
+    Ixx = _sep_blur(gx * gx, gk)
+    Iyy = _sep_blur(gy * gy, gk)
+    Ixy = _sep_blur(gx * gy, gk)
+    det = Ixx * Iyy - Ixy * Ixy
+    tr = Ixx + Iyy
+    return det - k * tr * tr
+
+
+def nms(score: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Non-maximum suppression: keep pixels that are the max in a
+    (2r+1)² window (the reference's uniformity radius semantics —
+    config threshold doc calls it 'uniformity radius in pixels')."""
+    w = 2 * radius + 1
+    m = jax.lax.reduce_window(
+        score,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(w, w),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+    return jnp.where(score >= m, score, -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("max_keypoints", "nms_radius", "border"))
+def detect_keypoints(
+    img: jnp.ndarray,
+    threshold: float = 30.0,
+    max_keypoints: int = 400,
+    nms_radius: int = 4,
+    border: int = 20,
+) -> Keypoints:
+    """Detect up to max_keypoints Harris corners with subpixel refinement.
+
+    Fixed output shape; invalid slots masked. `border` excludes the image rim
+    where the descriptor pattern would leave the image.
+    """
+    H, W = img.shape
+    score = harris_response(img)
+    # border mask
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    inb = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
+    score = jnp.where(inb, score, -jnp.inf)
+    sup = nms(score, nms_radius)
+
+    flat = sup.ravel()
+    vals, idx = jax.lax.top_k(flat, max_keypoints)
+    yy = (idx // W).astype(jnp.float32)
+    xx = (idx % W).astype(jnp.float32)
+
+    # subpixel quadratic refinement on the raw (un-suppressed) response
+    def refine(y, x):
+        yi = jnp.clip(y.astype(jnp.int32), 1, H - 2)
+        xi = jnp.clip(x.astype(jnp.int32), 1, W - 2)
+        c = score[yi, xi]
+        dx = 0.5 * (score[yi, xi + 1] - score[yi, xi - 1])
+        dy = 0.5 * (score[yi + 1, xi] - score[yi - 1, xi])
+        dxx = score[yi, xi + 1] + score[yi, xi - 1] - 2 * c
+        dyy = score[yi + 1, xi] + score[yi - 1, xi] - 2 * c
+        ox = jnp.where(jnp.abs(dxx) > 1e-6, -dx / dxx, 0.0)
+        oy = jnp.where(jnp.abs(dyy) > 1e-6, -dy / dyy, 0.0)
+        return jnp.clip(ox, -0.5, 0.5), jnp.clip(oy, -0.5, 0.5)
+
+    ox, oy = jax.vmap(refine)(yy, xx)
+    uv = jnp.stack([xx + ox, yy + oy], axis=-1)
+    mask = (vals > threshold) & jnp.isfinite(vals)
+    return Keypoints(uv=uv, score=vals, mask=mask)

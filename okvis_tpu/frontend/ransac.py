@@ -1,0 +1,228 @@
+"""Batched-hypothesis RANSAC for 3D-2D and 2D-2D geometric verification.
+
+TPU-native replacement for the reference's OpenGV RANSAC loops
+(/root/reference/okvis_frontend/src/Frontend.cpp:575-810: GP3P absolute-pose
+with 50 iterations / threshold 9, Stewenius 5-pt relative pose, 2-pt
+rotation-only): instead of a sequential hypothesize-and-verify loop, ALL
+hypotheses are sampled, solved, and scored against ALL correspondences in one
+batched XLA program — `n_hyp` minimal solves + one (n_hyp × N) error matrix,
+then an argmax. Minimal solvers are chosen for batchability:
+
+- rotation-only: 2-point Wahba (quaternion from accumulator matrix eigenvector)
+- relative pose: 8-point essential matrix (batched SVD) scored by Sampson error
+- absolute pose: 6-point DLT (batched SVD) with orthogonalized rotation
+
+Error thresholds follow the reference's focal-scaled convention: the SAC
+problems scale reprojection errors by (0.8/focal)⁻²
+(FrameAbsolutePoseSacProblem.hpp:173), i.e. thresholds are expressed in
+pixel²; we score angular errors mapped through the focal length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..kinematics import so3
+
+
+class RansacResult(NamedTuple):
+    inliers: jnp.ndarray  # (N,) bool
+    num_inliers: jnp.ndarray  # scalar int32
+    model: jnp.ndarray  # solver-specific model parameters
+    success: jnp.ndarray  # scalar bool
+
+
+def _sample_indices(key, n_hyp: int, k: int, n: jnp.ndarray, n_max: int) -> jnp.ndarray:
+    """(n_hyp, k) random indices in [0, n) (with replacement across hypotheses;
+    within a hypothesis, distinct with high probability — degenerate samples
+    simply score poorly and lose the argmax)."""
+    u = jax.random.uniform(key, (n_hyp, k))
+    return jnp.minimum((u * n).astype(jnp.int32), n_max - 1)
+
+
+# ---------------------------------------------------------------------------
+# rotation-only 2-point (ref FrameRotationOnlySacProblem)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_rotation_only(
+    key,
+    f_a: jnp.ndarray,  # (N, 3) unit bearings in frame A
+    f_b: jnp.ndarray,  # (N, 3) unit bearings in frame B
+    mask: jnp.ndarray,  # (N,) bool
+    focal: float = 460.0,
+    threshold_px2: float = 9.0,
+    n_hyp: int = 64,
+) -> RansacResult:
+    """Finds R_AB maximizing inliers of f_a ≈ R_AB f_b. Model: quaternion."""
+    N = f_a.shape[0]
+    n_valid = jnp.maximum(jnp.sum(mask), 1)
+    idx = _sample_indices(key, n_hyp, 2, n_valid, N)
+    # map sampled positions to actual valid indices
+    valid_idx = jnp.nonzero(mask, size=N, fill_value=0)[0]
+    idx = valid_idx[idx]
+
+    def solve(pair):
+        # Wahba with 2 vector pairs: B = Σ f_a f_bᵀ; R = closest rotation
+        a = f_a[pair]  # (2,3)
+        b = f_b[pair]
+        B = a.T @ b + 1e-9 * jnp.eye(3, dtype=f_a.dtype)
+        # orthogonal Procrustes via SVD
+        U, _, Vt = jnp.linalg.svd(B)
+        d = jnp.sign(jnp.linalg.det(U @ Vt))
+        S = jnp.diag(jnp.asarray([1.0, 1.0, d], dtype=f_a.dtype))
+        return U @ S @ Vt  # R_AB
+
+    Rs = jax.vmap(solve)(idx)  # (n_hyp, 3, 3)
+    # score: angular error between f_a and R f_b, mapped to pixels
+    rb = jnp.einsum("hij,nj->hni", Rs, f_b)
+    cos = jnp.clip(jnp.sum(rb * f_a[None], axis=-1), -1.0, 1.0)
+    err_px2 = (jnp.arccos(cos) * focal) ** 2
+    inl = (err_px2 < threshold_px2) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    R_best = Rs[best]
+    return RansacResult(
+        inliers=inl[best],
+        num_inliers=counts[best],
+        model=so3.matrix_to_quat(R_best),
+        success=counts[best] >= 2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# relative pose: 8-point essential matrix (replaces Stewenius 5-pt)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_relative_pose(
+    key,
+    f_a: jnp.ndarray,  # (N, 3) unit bearings, frame A
+    f_b: jnp.ndarray,  # (N, 3) unit bearings, frame B
+    mask: jnp.ndarray,
+    focal: float = 460.0,
+    threshold_px2: float = 9.0,
+    n_hyp: int = 64,
+) -> RansacResult:
+    """Essential-matrix RANSAC: f_aᵀ E f_b = 0. Model: E (3,3) flattened."""
+    N = f_a.shape[0]
+    n_valid = jnp.maximum(jnp.sum(mask), 1)
+    idx = _sample_indices(key, n_hyp, 8, n_valid, N)
+    valid_idx = jnp.nonzero(mask, size=N, fill_value=0)[0]
+    idx = valid_idx[idx]
+
+    # normalized image coords (perspective division of bearings)
+    xa = f_a[:, :2] / jnp.maximum(f_a[:, 2:3], 1e-6)
+    xb = f_b[:, :2] / jnp.maximum(f_b[:, 2:3], 1e-6)
+
+    def solve(sample):
+        pa = xa[sample]  # (8,2)
+        pb = xb[sample]
+        # rows of the epipolar constraint matrix: [xa*xb, xa*yb, xa, ya*xb, ...]
+        x1, y1 = pa[:, 0], pa[:, 1]
+        x2, y2 = pb[:, 0], pb[:, 1]
+        A = jnp.stack(
+            [x1 * x2, x1 * y2, x1, y1 * x2, y1 * y2, y1, x2, y2, jnp.ones_like(x1)],
+            axis=1,
+        )  # (8, 9)
+        # null vector via eigendecomposition of AᵀA
+        _, V = jnp.linalg.eigh(A.T @ A)
+        e = V[:, 0]
+        E = e.reshape(3, 3)
+        # enforce essential structure
+        U, s, Vt = jnp.linalg.svd(E)
+        return U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ Vt
+
+    Es = jax.vmap(solve)(idx)  # (n_hyp, 3, 3)
+
+    # Sampson distance in normalized coords -> pixel² via focal
+    ha = jnp.concatenate([xa, jnp.ones_like(xa[:, :1])], axis=1)  # (N,3)
+    hb = jnp.concatenate([xb, jnp.ones_like(xb[:, :1])], axis=1)
+    Exb = jnp.einsum("hij,nj->hni", Es, hb)  # (H,N,3)
+    Eta = jnp.einsum("hji,nj->hni", Es, ha)  # Eᵀ xa
+    num = jnp.einsum("ni,hni->hn", ha, Exb) ** 2
+    den = (
+        Exb[..., 0] ** 2 + Exb[..., 1] ** 2 + Eta[..., 0] ** 2 + Eta[..., 1] ** 2
+    )
+    sampson = num / jnp.maximum(den, 1e-12)
+    err_px2 = sampson * focal * focal
+    inl = (err_px2 < threshold_px2) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    return RansacResult(
+        inliers=inl[best],
+        num_inliers=counts[best],
+        model=Es[best].ravel(),
+        success=counts[best] >= 8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# absolute pose: 6-point DLT (replaces OpenGV GP3P)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_absolute_pose(
+    key,
+    points_W: jnp.ndarray,  # (N, 3) landmark positions
+    bearings_C: jnp.ndarray,  # (N, 3) unit bearings in camera frame
+    mask: jnp.ndarray,
+    focal: float = 460.0,
+    threshold_px2: float = 9.0,
+    n_hyp: int = 64,
+) -> RansacResult:
+    """Camera-pose RANSAC from 3D-2D matches
+    (ref runRansac3d2d, Frontend.cpp:575-642: 50 iterations, threshold 9).
+
+    Model: flattened [R_CW | t_C] (3,4); x_C ∝ R_CW p_W + t.
+    """
+    N = points_W.shape[0]
+    n_valid = jnp.maximum(jnp.sum(mask), 1)
+    idx = _sample_indices(key, n_hyp, 6, n_valid, N)
+    valid_idx = jnp.nonzero(mask, size=N, fill_value=0)[0]
+    idx = valid_idx[idx]
+
+    uv = bearings_C[:, :2] / jnp.maximum(bearings_C[:, 2:3], 1e-6)  # (N,2)
+
+    def solve(sample):
+        P = points_W[sample]  # (6,3)
+        x = uv[sample]  # (6,2)
+        # DLT rows for P = [p,1]: u = (r1·p+t1)/(r3·p+t3)
+        ones = jnp.ones((6, 1), P.dtype)
+        Ph = jnp.concatenate([P, ones], axis=1)  # (6,4)
+        zeros = jnp.zeros_like(Ph)
+        rows_u = jnp.concatenate([Ph, zeros, -x[:, :1] * Ph], axis=1)  # (6,12)
+        rows_v = jnp.concatenate([zeros, Ph, -x[:, 1:2] * Ph], axis=1)
+        A = jnp.concatenate([rows_u, rows_v], axis=0)  # (12,12)
+        _, V = jnp.linalg.eigh(A.T @ A)
+        p = V[:, 0].reshape(3, 4)
+        # orthogonalize rotation part, fix scale/sign
+        R_raw = p[:, :3]
+        U, s, Vt = jnp.linalg.svd(R_raw)
+        d = jnp.sign(jnp.linalg.det(U @ Vt))
+        R = U @ jnp.diag(jnp.asarray([1.0, 1.0, d], P.dtype)) @ Vt
+        scale = jnp.mean(s) * d
+        t = p[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1.0, scale)
+        return jnp.concatenate([R, t[:, None]], axis=1)  # (3,4)
+
+    Ms = jax.vmap(solve)(idx)  # (n_hyp, 3, 4)
+    p_C = jnp.einsum("hij,nj->hni", Ms[:, :, :3], points_W) + Ms[:, None, :, 3]
+    z = p_C[..., 2]
+    proj = p_C[..., :2] / jnp.maximum(jnp.abs(z[..., None]), 1e-6)
+    err_px2 = jnp.sum((proj - uv[None]) ** 2, axis=-1) * focal * focal
+    inl = (err_px2 < threshold_px2) & (z > 0) & mask[None, :]
+    counts = jnp.sum(inl, axis=1)
+    best = jnp.argmax(counts)
+    return RansacResult(
+        inliers=inl[best],
+        num_inliers=counts[best],
+        model=Ms[best].ravel(),
+        success=counts[best] >= 6,
+    )

@@ -46,10 +46,14 @@ class ImuParams(NamedTuple):
     g: jnp.ndarray  # gravity magnitude [m/s^2]
     g_max: jnp.ndarray  # gyro saturation [rad/s]
     a_max: jnp.ndarray  # accel saturation [m/s^2]
+    sigma_bg: jnp.ndarray  # gyro bias prior std (first-frame prior)
+    sigma_ba: jnp.ndarray  # accel bias prior std
+    a0: jnp.ndarray  # (3,) prior accelerometer bias
+    rate: int = 200  # nominal IMU rate [Hz]
 
     @staticmethod
     def euroc(dtype=jnp.float64) -> "ImuParams":
-        """Values from /root/reference/config/config_fpga_p2_euroc.yaml:37-47."""
+        """Values from /root/reference/config/config_fpga_p2_euroc.yaml:34-47."""
         f = lambda v: jnp.asarray(v, dtype=dtype)
         return ImuParams(
             sigma_g_c=f(12.0e-4),
@@ -59,6 +63,10 @@ class ImuParams(NamedTuple):
             g=f(9.81007),
             g_max=f(7.8),
             a_max=f(176.0),
+            sigma_bg=f(0.03),
+            sigma_ba=f(0.1),
+            a0=jnp.zeros(3, dtype=dtype),
+            rate=200,
         )
 
 

@@ -58,9 +58,19 @@ def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.abs(det)[..., None, None] < 1e-20, jnp.zeros_like(inv), inv)
 
 
-def dense_dim_mask(cfg: WindowConfig, state_mask: jnp.ndarray) -> jnp.ndarray:
-    """(D,) bool: which dense dims are free variables."""
-    sm = jnp.repeat(state_mask, 15, total_repeat_length=cfg.num_states * 15)
+def dense_dim_mask(
+    cfg: WindowConfig, state_mask: jnp.ndarray, sb_mask: jnp.ndarray = None
+) -> jnp.ndarray:
+    """(D,) bool: which dense dims are free variables.
+
+    Pose dims follow state_mask; speed/bias dims additionally require sb_mask
+    (old keyframes whose speed/bias was marginalized keep pose-only dims,
+    ref Estimator.cpp:483-520)."""
+    S = cfg.num_states
+    sm = jnp.repeat(state_mask, 15, total_repeat_length=S * 15).reshape(S, 15)
+    if sb_mask is not None:
+        sm = sm.at[:, 6:].set(sm[:, 6:] & sb_mask[:, None])
+    sm = sm.reshape(S * 15)
     if cfg.estimate_extrinsics:
         em = jnp.ones((cfg.num_cameras * 6,), bool)
     else:
@@ -74,11 +84,12 @@ def solve_normal_eqs(
     state_mask: jnp.ndarray,
     lm_mask: jnp.ndarray,
     lam: jnp.ndarray,
+    sb_mask: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One damped Schur solve: returns (delta_dense (D,), delta_landmarks (L,3))."""
     dtype = eqs.H_dd.dtype
     D = cfg.dense_dim
-    dim_mask = dense_dim_mask(cfg, state_mask)
+    dim_mask = dense_dim_mask(cfg, state_mask, sb_mask)
 
     # LM damping: H + λ·diag(H) (+ floor) on both blocks
     diag_d = jnp.diagonal(eqs.H_dd)
@@ -160,7 +171,7 @@ def optimize_window(
         states, lam, cost = carry
         eqs = evaluate(cfg, imu_params, intrinsics, problem, states)
         delta_d, delta_l = solve_normal_eqs(
-            cfg, eqs, problem.state_mask, problem.lm_mask, lam
+            cfg, eqs, problem.state_mask, problem.lm_mask, lam, problem.sb_mask
         )
         cand = apply_update(
             cfg, states, delta_d, delta_l, problem.state_mask, problem.lm_mask

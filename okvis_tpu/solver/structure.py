@@ -140,6 +140,8 @@ class BaProblem(NamedTuple):
 
     states: WindowStates
     state_mask: jnp.ndarray  # (S,) bool
+    sb_mask: jnp.ndarray  # (S,) bool — False once speed/bias was marginalized
+    # (old keyframes keep only their pose as free dims, Estimator.cpp:483-520)
     lm_mask: jnp.ndarray  # (L,) bool
     obs: Observations
     imu_links: ImuLinks
@@ -184,6 +186,7 @@ def empty_problem(cfg: WindowConfig, dtype=jnp.float64) -> BaProblem:
     return BaProblem(
         states=states,
         state_mask=jnp.zeros((S,), bool),
+        sb_mask=jnp.ones((S,), bool),
         lm_mask=jnp.zeros((L,), bool),
         obs=Observations(
             state_idx=jnp.zeros((O,), jnp.int32),

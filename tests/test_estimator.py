@@ -1,0 +1,123 @@
+"""Full estimator loop test — the TPU analog of reference TestEstimator
+(/root/reference/okvis_ceres/test/TestEstimator.cpp:52-238) extended with the
+marginalization strategy running every frame (window boundedness + accuracy
+over a long run, SURVEY.md §7 step 6)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from okvis_tpu import kinematics as kin
+from okvis_tpu.cameras import NCameraSystem, pinhole
+from okvis_tpu.datasets.synthetic import euroc_stereo_rig, make_landmarks, simulate_trajectory
+from okvis_tpu.estimator import Estimator
+from okvis_tpu.imu import ImuParams
+from okvis_tpu.solver import WindowConfig
+
+
+def make_rig():
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    return rig
+
+
+@pytest.mark.slow
+def test_estimator_long_run():
+    rng = np.random.default_rng(11)
+    duration = 4.0
+    frame_dt = 0.1
+    traj = simulate_trajectory(duration=duration, seed=3, motion_scale=0.6)
+    rig = make_rig()
+    lms = make_landmarks(traj, 140, seed=4, radius=(3.0, 9.0))
+    imu_params = ImuParams.euroc()
+
+    cfg = WindowConfig(
+        num_states=9,
+        num_cameras=2,
+        max_landmarks=256,
+        max_observations=1024,
+        imu_samples=32,
+        max_imu_links=8,
+        camera_specs=tuple(rig.specs),
+    )
+    est = Estimator(rig, imu_params, num_keyframes=5, num_imu_frames=3, cfg=cfg)
+
+    imu_rate = 200
+    pixel_noise = 0.6
+    pos_errors, ang_errors = [], []
+    n_frames = int(duration / frame_dt) - 1
+
+    for fi in range(n_frames):
+        t = fi * frame_dt
+        idx = int(round(t * imu_rate))
+        # IMU slice with overlap (ThreadedKFVio.cpp:663-697 semantics)
+        lo = max(0, idx - 24)
+        hi = min(len(traj.ts), idx + 5)
+        sid = est.add_states(
+            t,
+            traj.ts[lo:hi],
+            traj.gyro[lo:hi],
+            traj.acc[lo:hi],
+            as_keyframe=(fi % 2 == 0),
+        )
+
+        # synthetic frontend: project landmarks, observe visible ones
+        T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        for li, p_W in enumerate(lms):
+            vis_cams = []
+            for c in range(2):
+                T_SC = rig.camera_T_SC(c)
+                T_CW = kin.inverse(kin.compose(T_WS_true, T_SC))
+                p_C = kin.transform_point(T_CW, jnp.asarray(p_W))
+                uv, flags = pinhole.project(rig.specs[c], est.intrinsics[c], p_C)
+                if int(flags) == pinhole.STATUS_OK:
+                    vis_cams.append((c, np.asarray(uv)))
+            if len(vis_cams) == 0:
+                continue
+            lm_id = 10_000 + li
+            if not est.is_landmark_added(lm_id):
+                if len(vis_cams) < 2:
+                    continue  # require stereo for initialization
+                est.add_landmark(lm_id, p_W + rng.normal(0, 0.05, 3))
+            for c, uv in vis_cams:
+                est.add_observation(
+                    lm_id, sid, c, uv + rng.normal(0, pixel_noise, 2),
+                    keypoint_idx=li, size=8.0,
+                )
+
+        est.optimize()
+        est.apply_marginalization_strategy()
+
+        # bounded window invariants
+        assert est.num_frames() <= 9
+        assert len(est.imu_links) <= 8
+
+        T_est = est.get_T_WS(sid)
+        pos_errors.append(np.linalg.norm(np.asarray(T_est.r) - traj.r[idx]))
+        dq = kin.quat_multiply(kin.quat_conjugate(T_est.q), jnp.asarray(traj.q[idx]))
+        ang_errors.append(2 * np.arccos(min(1.0, abs(float(dq[3])))))
+
+    pos_errors = np.asarray(pos_errors)
+    ang_errors = np.asarray(ang_errors)
+    # accuracy: within reference test tolerances at the end of the run
+    assert pos_errors[-10:].max() < 0.1, f"drift too large: {pos_errors[-10:]}"
+    assert ang_errors[-10:].max() < 2e-2, f"orientation drift: {ang_errors[-10:]}"
+    # marginalization happened (old frames removed, prior active)
+    assert est.marg_valid
+    assert est.num_frames() == 8  # 5 keyframes + 3 imu frames
+
+
+def test_estimator_first_frame_initialization():
+    rig = make_rig()
+    est = Estimator(rig, ImuParams.euroc())
+    # stationary IMU tilted
+    n = 20
+    ts = np.arange(n) / 200.0
+    gyro = np.zeros((n, 3))
+    g = 9.81007
+    acc = np.tile([1.0, 0.0, 9.7], (n, 1))
+    sid = est.add_states(ts[-1], ts, gyro, acc, as_keyframe=True)
+    T = est.get_T_WS(sid)
+    a_W = kin.quat_rotate(T.q, jnp.asarray([1.0, 0.0, 9.7]))
+    np.testing.assert_allclose(np.asarray(a_W[:2]), 0, atol=1e-9)
+    assert len(est.pose_priors) == 1 and len(est.sb_priors) == 1
