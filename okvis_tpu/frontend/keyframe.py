@@ -25,10 +25,13 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
         return pts
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
 
+    def cross2(u, v):
+        return u[0] * v[1] - u[1] * v[0]
+
     def half(iterable):
         h = []
         for p in iterable:
-            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+            while len(h) >= 2 and cross2(h[-1] - h[-2], p - h[-2]) <= 0:
                 h.pop()
             h.append(p)
         return h

@@ -106,7 +106,7 @@ def mutual_best_assignment(
 
     def round_fn(_, carry):
         match_a, taken_b, d = carry
-        best_b = jnp.argmin(d, axis=1)  # (NA,)
+        best_b = jnp.argmin(d, axis=1).astype(jnp.int32)  # (NA,)
         best_d = jnp.take_along_axis(d, best_b[:, None], axis=1)[:, 0]
         want = (match_a < 0) & (best_d < threshold) & ratio_ok
         # B chooses its best proposer: scatter-min over A proposals
@@ -115,13 +115,21 @@ def mutual_best_assignment(
         b_onehot = jax.nn.one_hot(best_b, NB, dtype=jnp.int32)
         prop_to_b = jnp.where(b_onehot > 0, prop_d[:, None], big)  # (NA, NB)
         min_per_b = jnp.min(prop_to_b, axis=0)  # (NB,)
-        winner_a = jnp.argmin(prop_to_b, axis=0)  # (NB,)
+        winner_a = jnp.argmin(prop_to_b, axis=0).astype(jnp.int32)  # (NB,)
         b_accepts = (min_per_b < big) & ~taken_b
-        # fix accepted pairs
-        a_wins = jnp.zeros((NA,), bool).at[winner_a].set(b_accepts)
-        a_wins = a_wins & want & (jnp.take(winner_a, best_b) == jnp.arange(NA))
+        # fix accepted pairs (additive scatters: duplicate indices must OR,
+        # not overwrite)
+        a_wins = (
+            jnp.zeros((NA,), jnp.int32).at[winner_a].add(b_accepts.astype(jnp.int32))
+            > 0
+        )
+        a_wins = a_wins & want & (
+            jnp.take(winner_a, best_b) == jnp.arange(NA, dtype=jnp.int32)
+        )
         match_a = jnp.where(a_wins, best_b, match_a)
-        taken_b = taken_b | jnp.zeros((NB,), bool).at[best_b].set(a_wins)
+        taken_b = taken_b | (
+            jnp.zeros((NB,), jnp.int32).at[best_b].add(a_wins.astype(jnp.int32)) > 0
+        )
         # matched rows/cols leave the market
         d = jnp.where(a_wins[:, None] | taken_b[None, :], big, d)
         return match_a, taken_b, d

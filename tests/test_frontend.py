@@ -1,0 +1,236 @@
+"""Frontend component tests: matching (testMatcher analog), detection,
+description, triangulation, RANSAC, keyframe heuristic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from okvis_tpu import kinematics as kin
+from okvis_tpu.frontend.detection import detect_keypoints
+from okvis_tpu.frontend.brisk import describe_keypoints, detect_and_describe
+from okvis_tpu.frontend.keyframe import convex_hull, need_new_keyframe, polygon_area
+from okvis_tpu.frontend.ransac import (
+    ransac_absolute_pose,
+    ransac_relative_pose,
+    ransac_rotation_only,
+)
+from okvis_tpu.frontend.triangulation import triangulate_fast
+from okvis_tpu.ops.hamming import (
+    hamming_matrix_mxu,
+    hamming_matrix_xla,
+    masked_distance_matrix,
+    match_descriptors,
+    mutual_best_assignment,
+)
+
+
+# ---------------------------------------------------------------- matching
+def test_hamming_mxu_matches_popcount(rng):
+    a = jnp.asarray(rng.integers(0, 2**32, (40, 16), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, (50, 16), dtype=np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(hamming_matrix_mxu(a, b)), np.asarray(hamming_matrix_xla(a, b))
+    )
+
+
+def test_match_descriptors_identity(rng):
+    """Analog of reference testMatcher.cpp: identical descriptors must match
+    one-to-one."""
+    d = jnp.asarray(rng.integers(0, 2**32, (30, 16), dtype=np.uint32))
+    perm = rng.permutation(30)
+    m = match_descriptors(
+        d, d[jnp.asarray(perm)], jnp.ones(30, bool), jnp.ones(30, bool), threshold=60
+    )
+    expected = np.argsort(perm)
+    np.testing.assert_array_equal(np.asarray(m), expected)
+
+
+def test_match_respects_threshold_and_mask(rng):
+    d1 = jnp.asarray(rng.integers(0, 2**32, (10, 16), dtype=np.uint32))
+    d2 = jnp.asarray(rng.integers(0, 2**32, (10, 16), dtype=np.uint32))
+    # random descriptors differ by ~256 bits >> 60 threshold
+    m = match_descriptors(d1, d2, jnp.ones(10, bool), jnp.ones(10, bool), threshold=60)
+    assert np.all(np.asarray(m) == -1)
+    # masked-out rows never match even against themselves
+    m2 = match_descriptors(
+        d1, d1, jnp.ones(10, bool), jnp.zeros(10, bool), threshold=60
+    )
+    assert np.all(np.asarray(m2) == -1)
+
+
+def test_mutual_best_one_to_one(rng):
+    # two A rows competing for the same B: closer one wins, other takes next best
+    dist = jnp.asarray(
+        [[5, 100, 100], [8, 9, 100], [100, 100, 7]], dtype=jnp.int32
+    )
+    m = mutual_best_assignment(dist, threshold=60)
+    assert list(np.asarray(m)) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------- detection
+def synth_corner_image(rng, H=120, W=160, n=12):
+    """Isolated bright squares on a grid: true corners = the 4 square corners."""
+    img = np.full((H, W), 128.0, np.float32)
+    img += rng.normal(0, 1.0, (H, W)).astype(np.float32)
+    pts = []
+    cells = [(cy, cx) for cy in range(3) for cx in range(4)]
+    rng.shuffle(cells)
+    for cy, cx in cells[:n]:
+        y0 = 20 + cy * 30 + int(rng.uniform(0, 6))
+        x0 = 20 + cx * 34 + int(rng.uniform(0, 6))
+        sz = 12
+        img[y0 : y0 + sz, x0 : x0 + sz] += 70.0
+        pts += [(x, y) for x in (x0 - 0.5, x0 + sz - 0.5) for y in (y0 - 0.5, y0 + sz - 0.5)]
+    return img, np.asarray(pts, np.float32)
+
+
+def test_detect_keypoints_finds_corners(rng):
+    img, pts = synth_corner_image(rng)
+    kps = detect_keypoints(jnp.asarray(img), threshold=10.0, max_keypoints=64, border=8)
+    found = np.asarray(kps.uv)[np.asarray(kps.mask)]
+    assert len(found) >= 10
+    # most detections should be near a true corner (within 2 px)
+    d = np.linalg.norm(found[:, None, :] - pts[None, :, :], axis=-1).min(axis=1)
+    assert np.median(d) < 2.0
+
+
+def test_descriptors_stable_under_translation(rng):
+    img, _ = synth_corner_image(rng, n=15)
+    kps = detect_keypoints(jnp.asarray(img), threshold=10.0, max_keypoints=32, border=16)
+    desc1 = describe_keypoints(jnp.asarray(img), kps)
+    # integer-shifted image, shifted keypoints -> near-identical descriptors
+    img2 = np.roll(img, (3, 5), axis=(0, 1))
+    kps2 = kps._replace(uv=kps.uv + jnp.asarray([5.0, 3.0]))
+    desc2 = describe_keypoints(jnp.asarray(img2), kps2)
+    d = np.asarray(
+        masked_distance_matrix(desc1, desc2, kps.mask, kps.mask)
+    )
+    diag = np.diag(d)[np.asarray(kps.mask)]
+    assert np.median(diag) < 30, f"descriptor drift too large: {diag}"
+
+
+# ---------------------------------------------------------------- triangulation
+def test_triangulate_exact(rng):
+    p_true = jnp.asarray([0.4, -0.2, 5.0])
+    p1 = jnp.zeros(3)
+    p2 = jnp.asarray([0.11, 0.0, 0.0])
+    e1 = p_true - p1
+    e1 = e1 / jnp.linalg.norm(e1)
+    e2 = p_true - p2
+    e2 = e2 / jnp.linalg.norm(e2)
+    out = triangulate_fast(p1, e1, p2, e2, jnp.asarray(1e-3))
+    assert bool(out.valid) and not bool(out.parallel)
+    hp = np.asarray(out.hp)
+    np.testing.assert_allclose(hp[:3] / hp[3], np.asarray(p_true), atol=1e-8)
+
+
+def test_triangulate_parallel_rays():
+    e = jnp.asarray([0.0, 0.0, 1.0])
+    out = triangulate_fast(jnp.zeros(3), e, jnp.asarray([0.11, 0, 0]), e, jnp.asarray(1e-2))
+    assert bool(out.parallel)
+    assert bool(out.valid)  # within 6 sigma
+    assert float(out.hp[3]) < 0.01  # point at infinity encoding
+
+
+def test_triangulate_batched(rng):
+    n = 64
+    pts = jnp.asarray(rng.uniform(-2, 2, (n, 3))) + jnp.asarray([0, 0, 6.0])
+    p1 = jnp.zeros((n, 3))
+    p2 = jnp.tile(jnp.asarray([0.2, 0.0, 0.0]), (n, 1))
+    e1 = pts / jnp.linalg.norm(pts, axis=1, keepdims=True)
+    d2 = pts - p2
+    e2 = d2 / jnp.linalg.norm(d2, axis=1, keepdims=True)
+    out = triangulate_fast(p1, e1, p2, e2, jnp.full(n, 1e-3))
+    assert np.all(np.asarray(out.valid))
+    rec = np.asarray(out.hp[:, :3] / out.hp[:, 3:4])
+    np.testing.assert_allclose(rec, np.asarray(pts), atol=1e-6)
+
+
+# ---------------------------------------------------------------- RANSAC
+def test_ransac_rotation_only(rng):
+    n = 100
+    f_b = rng.normal(size=(n, 3))
+    f_b /= np.linalg.norm(f_b, axis=1, keepdims=True)
+    q_true = kin.quat_normalize(jnp.asarray([0.1, -0.2, 0.15, 1.0]))
+    f_a = np.array(kin.quat_rotate(q_true[None], jnp.asarray(f_b)))
+    # corrupt 30% with outliers
+    out_idx = rng.choice(n, 30, replace=False)
+    f_a[out_idx] = rng.normal(size=(30, 3))
+    f_a /= np.linalg.norm(f_a, axis=1, keepdims=True)
+    res = ransac_rotation_only(
+        jax.random.PRNGKey(0), jnp.asarray(f_a), jnp.asarray(f_b), jnp.ones(n, bool)
+    )
+    assert bool(res.success)
+    assert int(res.num_inliers) >= 65
+    dq = kin.quat_multiply(kin.quat_conjugate(res.model), q_true)
+    assert abs(float(dq[3])) > 1 - 1e-4
+
+
+def test_ransac_absolute_pose(rng):
+    n = 120
+    pts_W = rng.uniform(-3, 3, (n, 3)) + [0, 0, 8]
+    q = kin.quat_normalize(jnp.asarray([0.05, 0.1, -0.05, 1.0]))
+    t = jnp.asarray([0.3, -0.2, 0.5])
+    p_C = np.array(kin.quat_rotate(q[None], jnp.asarray(pts_W))) + np.asarray(t)
+    bear = p_C / np.linalg.norm(p_C, axis=1, keepdims=True)
+    out_idx = rng.choice(n, 30, replace=False)
+    bear[out_idx] = rng.normal(size=(30, 3))
+    bear /= np.linalg.norm(bear, axis=1, keepdims=True)
+    res = ransac_absolute_pose(
+        jax.random.PRNGKey(1), jnp.asarray(pts_W), jnp.asarray(bear), jnp.ones(n, bool)
+    )
+    assert bool(res.success)
+    assert int(res.num_inliers) >= 80
+    M = np.asarray(res.model).reshape(3, 4)
+    np.testing.assert_allclose(M[:, :3], np.asarray(kin.quat_to_matrix(q)), atol=1e-3)
+    np.testing.assert_allclose(M[:, 3], np.asarray(t), atol=5e-3)
+
+
+def test_ransac_relative_pose(rng):
+    n = 150
+    pts = rng.uniform(-2, 2, (n, 3)) + [0, 0, 6]
+    # camera A at origin; camera B translated+rotated
+    q = kin.quat_normalize(jnp.asarray([0.02, 0.08, -0.03, 1.0]))
+    t = np.asarray([0.5, 0.1, -0.2])
+    f_a = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    p_B = np.array(kin.quat_rotate(kin.quat_conjugate(q)[None], jnp.asarray(pts - t)))
+    f_b = p_B / np.linalg.norm(p_B, axis=1, keepdims=True)
+    out_idx = rng.choice(n, 35, replace=False)
+    f_b2 = f_b.copy()
+    f_b2[out_idx] = rng.normal(size=(35, 3))
+    f_b2 /= np.linalg.norm(f_b2, axis=1, keepdims=True)
+    res = ransac_relative_pose(
+        jax.random.PRNGKey(2), jnp.asarray(f_a), jnp.asarray(f_b2), jnp.ones(n, bool)
+    )
+    assert bool(res.success)
+    assert int(res.num_inliers) >= 90
+    # true inliers should dominate
+    true_inl = np.ones(n, bool)
+    true_inl[out_idx] = False
+    rec = np.asarray(res.inliers)
+    assert (rec & true_inl).sum() / rec.sum() > 0.9
+
+
+# ---------------------------------------------------------------- keyframe
+def test_convex_hull_and_area():
+    sq = np.asarray([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1]], np.float64)
+    hull = convex_hull(sq)
+    assert len(hull) == 4
+    assert abs(polygon_area(hull) - 4.0) < 1e-12
+
+
+def test_need_new_keyframe_logic(rng):
+    pts = rng.uniform(0, 100, (200, 2))
+    all_matched = np.ones(200, bool)
+    # everything matched everywhere -> good overlap -> no new keyframe
+    assert not need_new_keyframe([pts], [all_matched])
+    # nothing matched -> need keyframe
+    assert need_new_keyframe([pts], [np.zeros(200, bool)])
+    # matches confined to a small corner -> low overlap -> need keyframe
+    corner = (pts[:, 0] < 20) & (pts[:, 1] < 20)
+    assert need_new_keyframe([pts], [corner])
+    # few frames -> always keyframe
+    assert need_new_keyframe([pts], [all_matched], num_frames=1)
+    # not initialized -> never
+    assert not need_new_keyframe([pts], [np.zeros(200, bool)], is_initialized=False)
