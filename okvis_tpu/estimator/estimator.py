@@ -127,6 +127,8 @@ class Estimator:
         self.imu_links: List[ImuLinkRecord] = []
         self.pose_priors: List[dict] = []
         self.sb_priors: List[dict] = []
+        # frame-id -> MultiFrame (ref multiFramePtrMap_, Estimator.hpp)
+        self.multiframes: Dict[int, object] = {}
 
         # numpy mirrors of window variables (slot-indexed)
         S, C, L = self.cfg.num_states, self.cfg.num_cameras, self.cfg.max_landmarks
@@ -668,6 +670,7 @@ class Estimator:
         # --- drop removed frames ---
         for s in remove_frames:
             del self.states[s.id]
+            self.multiframes.pop(s.id, None)
             self._free_state_slots.append(s.slot)
             # slot is clean in the prior (its dims were just eliminated)
             self.states_slot_reset(s.slot)

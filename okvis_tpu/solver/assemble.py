@@ -58,18 +58,24 @@ def marg_delta_chi(cfg: WindowConfig, states: WindowStates, marg) -> jnp.ndarray
     return jnp.concatenate([d_states, d_ext])
 
 
-def evaluate(
+def evaluate_reprojection(
     cfg: WindowConfig,
-    imu_params: ImuParams,
     intrinsics: List[jnp.ndarray],
-    problem: BaProblem,
+    obs,
     states: WindowStates,
-) -> NormalEqs:
-    """Evaluate every factor at `states` and assemble GN normal equations."""
+):
+    """Reprojection-factor part of the normal equations.
+
+    Separated from the dense factors so the distributed BA can run this
+    per-shard (observations/landmarks partitioned over the mesh "map" axis)
+    and psum only the dense H/b/cost (okvis_tpu.parallel.sharded_ba).
+    Returns (H_dd, b_d, H_ll, b_l, W, cost).
+    """
     dtype = states.r_WS.dtype
-    S, C, L, O = cfg.num_states, cfg.num_cameras, cfg.max_landmarks, cfg.max_observations
+    S, C = cfg.num_states, cfg.num_cameras
+    L = states.hp_W.shape[0]
+    O = obs.mask.shape[0]
     D = cfg.dense_dim
-    obs = problem.obs
 
     # ---------------- reprojection factors ----------------
     T_WS_o = SE3(r=states.r_WS[obs.state_idx], q=states.q_WS[obs.state_idx])
@@ -131,8 +137,27 @@ def evaluate(
     b_l = -jnp.einsum("oik,oi,om->mk", J_hp, res, M)
     WD = jnp.einsum("oid,oik->odk", J_full, J_hp)  # (O, D, 3)
     W = jnp.einsum("odk,om->mdk", WD, M)
+    return H_dd, b_d, H_ll, b_l, W, cost
+
+
+def evaluate_dense_factors(
+    cfg: WindowConfig,
+    imu_params: ImuParams,
+    problem: BaProblem,
+    states: WindowStates,
+):
+    """IMU links + priors + marginal prior -> (H_dd, b_d, cost).
+
+    These factors touch only the dense parameter vector and are replicated in
+    the distributed BA (identical on every shard; never psummed)."""
+    dtype = states.r_WS.dtype
+    D = cfg.dense_dim
+    H_dd = jnp.zeros((D, D), dtype)
+    b_d = jnp.zeros((D,), dtype)
+    cost = jnp.zeros((), dtype)
 
     # ---------------- IMU link factors ----------------
+    S = cfg.num_states
     links = problem.imu_links
 
     def eval_link(pre, ia, ib):
@@ -206,5 +231,28 @@ def evaluate(
     cost = cost + mv * 0.5 * (
         marg.c0 - 2.0 * jnp.dot(marg.b0, dchi) + dchi @ marg.H @ dchi
     )
+    return H_dd, b_d, cost
 
-    return NormalEqs(H_dd=H_dd, b_d=b_d, H_ll=H_ll, b_l=b_l, W=W, cost=cost)
+
+def evaluate(
+    cfg: WindowConfig,
+    imu_params: ImuParams,
+    intrinsics: List[jnp.ndarray],
+    problem: BaProblem,
+    states: WindowStates,
+) -> NormalEqs:
+    """Evaluate every factor at `states` and assemble GN normal equations."""
+    H_obs, b_obs, H_ll, b_l, W, cost_obs = evaluate_reprojection(
+        cfg, intrinsics, problem.obs, states
+    )
+    H_dense, b_dense, cost_dense = evaluate_dense_factors(
+        cfg, imu_params, problem, states
+    )
+    return NormalEqs(
+        H_dd=H_obs + H_dense,
+        b_d=b_obs + b_dense,
+        H_ll=H_ll,
+        b_l=b_l,
+        W=W,
+        cost=cost_obs + cost_dense,
+    )

@@ -1,0 +1,91 @@
+"""Distributed BA tests on the 8-device virtual CPU mesh: the psum-reduced
+sharded solve must match the single-device solve (SURVEY.md §4 multi-node
+analog: numerical equivalence single vs sharded)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from okvis_tpu.parallel import make_mesh, make_sharded_optimizer, shard_problem
+from okvis_tpu.solver import optimize_window
+
+from helpers import build_synthetic_problem
+
+
+@pytest.fixture(scope="module")
+def world():
+    return build_synthetic_problem(
+        num_frames=4,
+        n_landmarks=96,
+        cfg_kwargs=dict(max_landmarks=128, max_observations=1024, max_iterations=6),
+    )
+
+
+def perturb(problem, truth, seed=1):
+    import okvis_tpu.kinematics as kin
+
+    rng = np.random.default_rng(seed)
+    S = truth["r_WS"].shape[0]
+    states = problem.states
+    d = jnp.asarray(
+        np.concatenate([np.zeros((1, 6)), rng.normal(0, 0.03, (S - 1, 6))])
+    )
+    new_pose = kin.oplus(kin.SE3(r=states.r_WS[:S], q=states.q_WS[:S]), d)
+    n_lm = truth["n_landmarks"]
+    states = states._replace(
+        r_WS=states.r_WS.at[:S].set(new_pose.r),
+        q_WS=states.q_WS.at[:S].set(new_pose.q),
+        hp_W=states.hp_W.at[:n_lm, :3].add(
+            jnp.asarray(rng.normal(0, 0.05, (n_lm, 3)))
+        ),
+    )
+    return problem._replace(states=states)
+
+
+def test_sharded_matches_single_device(world):
+    cfg, imu_params, intrinsics, problem, truth = world
+    problem = perturb(problem, truth)
+
+    # single-device reference
+    states_ref, diag_ref = jax.jit(
+        functools.partial(optimize_window, cfg, imu_params, intrinsics)
+    )(problem)
+
+    mesh = make_mesh(8)
+    opt = make_sharded_optimizer(cfg, imu_params, intrinsics, mesh)
+    sharded = shard_problem(problem, 8)
+    states_sh, (cost_sh, hist) = opt(sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(states_sh.r_WS), np.asarray(states_ref.r_WS), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(states_sh.q_WS), np.asarray(states_ref.q_WS), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(cost_sh), float(diag_ref.final_cost), rtol=1e-8
+    )
+    # landmark table: sharded layout keeps slots in place
+    np.testing.assert_allclose(
+        np.asarray(states_sh.hp_W), np.asarray(states_ref.hp_W), atol=1e-7
+    )
+
+
+def test_shard_problem_layout(world):
+    cfg, _, _, problem, truth = world
+    sharded = shard_problem(problem, 8)
+    O = cfg.max_observations
+    L = cfg.max_landmarks
+    Os, Ls = O // 8, L // 8
+    lm_idx = np.asarray(sharded.obs.lm_idx)
+    mask = np.asarray(sharded.obs.mask)
+    # every active observation's (local) landmark index stays within its block
+    for s in range(8):
+        blk = slice(s * Os, (s + 1) * Os)
+        active = mask[blk]
+        assert np.all(lm_idx[blk][active] < Ls)
+    # same number of active observations overall
+    assert mask.sum() == np.asarray(problem.obs.mask).sum()
