@@ -1,0 +1,101 @@
+"""EuRoC dataset CLI driver.
+
+TPU equivalent of the reference demo app
+(/root/reference/okvis_apps/src/okvis_app_synchronous.cpp:199-379):
+
+    python -m okvis_tpu.apps.run_euroc <config.yaml> <dataset>/mav0 [skip-sec]
+
+Feeds all measurements in timestamp order in blocking mode, writes the
+estimated trajectory in TUM format, and reports ATE RMSE against the EuRoC
+ground truth plus the per-stage timing table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import read_config
+from ..datasets.euroc import EurocDataset, ImageEvent, ImuSample
+from ..eval import ate_rmse, write_tum
+from ..pipeline import ThreadedVio
+
+
+def run(
+    config_path: str,
+    mav0_dir: str,
+    skip_sec: float = 0.0,
+    max_frames: int = 0,
+    dtype=jnp.float32,
+    trajectory_out: str = "trajectory.tum",
+) -> dict:
+    params = read_config(config_path)
+    ds = EurocDataset(mav0_dir, num_cameras=len(params.cameras), skip_sec=skip_sec)
+    vio = ThreadedVio(params, blocking=True, dtype=dtype)
+
+    n_frames = 0
+    t_start = time.perf_counter()
+    frame_limit = max_frames or 10**9
+    for m in ds.measurements():
+        if isinstance(m, ImuSample):
+            vio.add_imu_measurement(m.timestamp_ns, m.gyro, m.acc)
+        elif isinstance(m, ImageEvent):
+            vio.add_image(m.timestamp_ns, m.cam_idx, m.load())
+            if m.cam_idx == 0:
+                n_frames += 1
+                if n_frames >= frame_limit:
+                    break
+    vio.wait_idle(timeout=600)
+    wall = time.perf_counter() - t_start
+    timing_table = vio.shutdown()
+
+    est_ts = np.asarray([s.timestamp_ns for s in vio.trajectory])
+    est_p = np.stack([np.asarray(s.T_WS.r) for s in vio.trajectory]) if vio.trajectory else np.zeros((0, 3))
+    est_q = np.stack([np.asarray(s.T_WS.q) for s in vio.trajectory]) if vio.trajectory else np.zeros((0, 4))
+    if trajectory_out and len(est_ts):
+        write_tum(trajectory_out, est_ts, est_p, est_q)
+
+    out = {
+        "frames_processed": len(vio.trajectory),
+        "frames_fed": n_frames,
+        "wall_s": wall,
+        "frames_per_s": len(vio.trajectory) / wall if wall > 0 else 0.0,
+        "ate_rmse_m": None,
+    }
+    gt = ds.ground_truth()
+    if gt is not None and len(est_ts) >= 3:
+        gt_ts, gt_p, _ = gt
+        out["ate_rmse_m"] = ate_rmse(est_ts, est_p, gt_ts, gt_p)
+    out["timing"] = timing_table
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config")
+    ap.add_argument("mav0")
+    ap.add_argument("skip_sec", nargs="?", type=float, default=0.0)
+    ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--trajectory-out", default="trajectory.tum")
+    ap.add_argument("--f64", action="store_true")
+    args = ap.parse_args(argv)
+    out = run(
+        args.config,
+        args.mav0,
+        args.skip_sec,
+        max_frames=args.max_frames,
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+        trajectory_out=args.trajectory_out,
+    )
+    timing = out.pop("timing")
+    print(timing, file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -172,6 +172,14 @@ class Estimator:
         return self._jit_cache["pre"]
 
     @property
+    def _propagate_fn(self):
+        if "prop" not in self._jit_cache:
+            self._jit_cache["prop"] = jax.jit(
+                functools.partial(propagate, self.imu_params)
+            )
+        return self._jit_cache["prop"]
+
+    @property
     def _marginalize_fn(self):
         if "marg" not in self._jit_cache:
 
@@ -230,13 +238,16 @@ class Estimator:
                 r=jnp.asarray(self.r_WS[last.slot], dtype=self.dtype),
                 q=jnp.asarray(self.q_WS[last.slot], dtype=self.dtype),
             )
-            T_WS, sb_j = propagate(
-                self.imu_params,
+            # pad to the static window size so the jitted scan never retraces
+            ts_p, gy_p, ac_p = self._pad_imu(
+                imu_ts, imu_gyro, imu_acc, self.cfg.imu_samples
+            )
+            T_WS, sb_j = self._propagate_fn(
                 T_prev,
                 jnp.asarray(self.sb[last.slot], dtype=self.dtype),
-                jnp.asarray(imu_ts, dtype=self.dtype),
-                jnp.asarray(imu_gyro, dtype=self.dtype),
-                jnp.asarray(imu_acc, dtype=self.dtype),
+                jnp.asarray(ts_p, dtype=self.dtype),
+                jnp.asarray(gy_p, dtype=self.dtype),
+                jnp.asarray(ac_p, dtype=self.dtype),
                 jnp.asarray(last.timestamp, dtype=self.dtype),
                 jnp.asarray(timestamp, dtype=self.dtype),
             )

@@ -2,8 +2,10 @@
 
 TPU-native re-design of the reference okvis::Frontend
 (/root/reference/okvis_frontend/src/Frontend.cpp:69-845). Host code
-orchestrates; all heavy work (detection, description, Hamming matching,
-gating, triangulation, RANSAC) runs as jitted batched kernels:
+orchestrates; ALL heavy work (detection, description, Hamming matching,
+gating, triangulation, RANSAC) runs through the fixed-shape jitted kernels in
+frontend.kernels — compiled once per keypoint capacity, retrace-free for the
+whole sequence:
 
 - detect_and_describe        (Frontend.cpp:92-114; gravity-aligned extraction)
 - data_association_and_initialization (Frontend.cpp:117-271):
@@ -28,18 +30,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import kinematics as kin
-from ..cameras import pinhole
 from ..cameras.ncamera import NCameraSystem
 from ..estimator.estimator import Estimator
-from ..imu.preintegration import ImuParams, propagate
-from ..ops.hamming import MAX_DIST, masked_distance_matrix, mutual_best_assignment
+from ..imu.preintegration import propagate
 from ..utils.ids import IdProvider
 from .brisk import describe_keypoints, gravity_extraction_angle
 from .detection import detect_keypoints
 from .frame import FrameData, MultiFrame
 from .keyframe import need_new_keyframe
-from .ransac import ransac_absolute_pose, ransac_rotation_only
-from .triangulation import triangulate_fast
+from . import kernels
+from .ransac import ransac_absolute_pose
 
 
 @dataclasses.dataclass
@@ -81,7 +81,6 @@ class Frontend:
         )
         angle = None
         if T_WC is not None:
-            # gravity direction in camera frame: C_CW @ -e_z
             g_C = kin.quat_rotate(
                 kin.quat_conjugate(T_WC.q), jnp.asarray([0.0, 0.0, -1.0])
             )
@@ -96,8 +95,7 @@ class Frontend:
 
     # ------------------------------------------------------------------
     def propagation(self, imu_params, T_WS, sb, ts, gyro, acc, t0, t1):
-        """Real-time state prediction (delegates to the preintegration scan;
-        ref Frontend::propagation -> ImuError::propagation)."""
+        """Real-time state prediction (ref Frontend::propagation)."""
         return propagate(
             imu_params, T_WS, jnp.asarray(sb), jnp.asarray(ts), jnp.asarray(gyro),
             jnp.asarray(acc), jnp.asarray(t0), jnp.asarray(t1)
@@ -133,8 +131,6 @@ class Frontend:
         self._ransac_3d2d(estimator, multiframe, T_WS_prop)
 
         if not self.is_initialized and num_3d2d > 0:
-            # initialization flips on the first successful (non-rotation-only)
-            # association (Frontend.cpp:184-189)
             self.is_initialized = True
 
         # --- keyframe decision (Frontend.cpp:196) ---
@@ -187,155 +183,132 @@ class Frontend:
         A-keypoints with landmarks, 2D-2D (+triangulation) for the rest.
         Returns #3D-2D matches accepted."""
         cfg = self.cfg
+        K = cfg.max_keypoints
         n3d = 0
         for cam in range(frame_b.num_cameras):
             fa, fb = frame_a.frames[cam], frame_b.frames[cam]
-            mask_a = np.asarray(fa.keypoints.mask).copy()
-            mask_b = np.asarray(fb.keypoints.mask).copy()
-            has_lm = fa.landmark_ids != 0
-            # only keep landmarks that still exist & are initialized
-            for i in np.nonzero(has_lm)[0]:
-                lm_id = int(fa.landmark_ids[i])
-                if not estimator.is_landmark_added(lm_id):
+            mask_a = np.asarray(fa.keypoints.mask)
+            mask_b = np.asarray(fb.keypoints.mask)
+            # drop stale landmark associations
+            for i in np.nonzero(fa.landmark_ids != 0)[0]:
+                if not estimator.is_landmark_added(int(fa.landmark_ids[i])):
                     fa.landmark_ids[i] = 0
-                    has_lm[i] = False
-
-            # B keypoints without landmark yet
+            has_lm = fa.landmark_ids != 0
             free_b = mask_b & (fb.landmark_ids == 0)
 
             # ---- 3D-2D: project landmarks into B, gate, match ----
             a_sel = mask_a & has_lm
             if a_sel.any():
-                lm_slots = np.asarray(
-                    [estimator.landmarks[int(l)].slot for l in fa.landmark_ids[a_sel]]
-                )
-                hp = estimator.hp_W[lm_slots]
+                hp_rows = np.tile(np.asarray([0.0, 0, 0, 1.0]), (K, 1))
+                for i in np.nonzero(a_sel)[0]:
+                    hp_rows[i] = estimator.hp_W[
+                        estimator.landmarks[int(fa.landmark_ids[i])].slot
+                    ]
                 T_CW = kin.inverse(self._frame_T_WC(estimator, T_WS_b, cam))
-                hp_C = np.asarray(
-                    jax.vmap(lambda p: kin.transform_hpoint(T_CW, p))(jnp.asarray(hp))
+                uv_pred, proj_ok = kernels.project_hpoints(
+                    self.rig.specs[cam],
+                    estimator.intrinsics[cam],
+                    T_CW,
+                    jnp.asarray(hp_rows),
                 )
-                uv_pred, flags = jax.vmap(
-                    lambda p: pinhole.project_homogeneous(
-                        self.rig.specs[cam], estimator.intrinsics[cam], p
+                gate_ok = a_sel & np.asarray(proj_ok)
+                pred = np.full((K, 2), 1e9)
+                pred[gate_ok] = np.asarray(uv_pred)[gate_ok]
+                assign = np.asarray(
+                    kernels.gated_match(
+                        fa.descriptors,
+                        fb.descriptors,
+                        jnp.asarray(gate_ok),
+                        jnp.asarray(free_b),
+                        jnp.asarray(pred),
+                        fb.keypoints.uv,
+                        jnp.asarray(cfg.gate_radius_px),
+                        threshold=cfg.matching_threshold,
                     )
-                )(jnp.asarray(hp_C))
-                uv_pred = np.asarray(uv_pred)
-                proj_ok = np.asarray(flags) == pinhole.STATUS_OK
-                idx_a = np.nonzero(a_sel)[0][proj_ok]
-                if len(idx_a):
-                    gate = self._gated_match(
-                        fa.descriptors, fb.descriptors,
-                        idx_a, np.nonzero(free_b)[0],
-                        uv_pred[proj_ok], np.asarray(fb.keypoints.uv),
-                        cfg.gate_radius_px,
+                )
+                for ia in np.nonzero(assign >= 0)[0]:
+                    ib = int(assign[ia])
+                    lm_id = int(fa.landmark_ids[ia])
+                    frame_b.set_landmark_id(cam, ib, lm_id)
+                    estimator.add_observation(
+                        lm_id, frame_b.id, cam,
+                        np.asarray(fb.keypoints.uv[ib]), keypoint_idx=ib, size=8.0,
                     )
-                    for ia, ib in gate:
-                        lm_id = int(fa.landmark_ids[ia])
-                        frame_b.set_landmark_id(cam, ib, lm_id)
-                        estimator.add_observation(
-                            lm_id, frame_b.id, cam,
-                            np.asarray(fb.keypoints.uv[ib]), keypoint_idx=int(ib),
-                            size=8.0,
-                        )
-                        free_b[ib] = False
-                        n3d += 1
+                    free_b[ib] = False
+                    n3d += 1
 
             # ---- 2D-2D: un-landmarked A keypoints vs free B keypoints ----
-            free_a = mask_a & (fa.landmark_ids == 0)
-            ia_list = np.nonzero(free_a)[0]
-            ib_list = np.nonzero(free_b)[0]
-            if len(ia_list) and len(ib_list) and do_triangulate:
-                matches = self._plain_match(fa.descriptors, fb.descriptors, ia_list, ib_list)
-                if matches:
-                    self._triangulate_and_add(
-                        estimator, frame_a, frame_b, cam, matches, T_WS_b
+            if do_triangulate:
+                free_a = mask_a & (fa.landmark_ids == 0)
+                if free_a.any() and free_b.any():
+                    assign = np.asarray(
+                        kernels.plain_match(
+                            fa.descriptors,
+                            fb.descriptors,
+                            jnp.asarray(free_a),
+                            jnp.asarray(free_b),
+                            threshold=cfg.matching_threshold,
+                        )
                     )
+                    matches = [
+                        (int(ia), int(assign[ia])) for ia in np.nonzero(assign >= 0)[0]
+                    ]
+                    if matches:
+                        T_WC_a = self._frame_T_WC(estimator, frame_a.id, cam)
+                        T_WC_b = self._frame_T_WC(estimator, T_WS_b, cam)
+                        self._triangulate_and_add(
+                            estimator, frame_a, frame_b, cam, cam, matches,
+                            T_WC_a, T_WC_b,
+                        )
         return n3d
 
-    def _plain_match(self, desc_a, desc_b, idx_a, idx_b) -> List[Tuple[int, int]]:
-        K = desc_a.shape[0]
-        ma = np.zeros(K, bool)
-        ma[idx_a] = True
-        mb = np.zeros(K, bool)
-        mb[idx_b] = True
-        dist = masked_distance_matrix(
-            desc_a, desc_b, jnp.asarray(ma), jnp.asarray(mb)
-        )
-        assign = np.asarray(
-            mutual_best_assignment(dist, self.cfg.matching_threshold)
-        )
-        return [(ia, int(assign[ia])) for ia in idx_a if assign[ia] >= 0]
-
-    def _gated_match(
-        self, desc_a, desc_b, idx_a, idx_b, uv_pred, uv_b, gate_radius
-    ) -> List[Tuple[int, int]]:
-        """3D-2D matching with an image-space gate around the predicted
-        projection (ref doSetup image-space uncertainty gating,
-        VioKeyframeWindowMatchingAlgorithm.cpp:122-276)."""
-        K = desc_a.shape[0]
-        ma = np.zeros(K, bool)
-        ma[idx_a] = True
-        mb = np.zeros(K, bool)
-        mb[idx_b] = True
-        dist = np.array(
-            masked_distance_matrix(desc_a, desc_b, jnp.asarray(ma), jnp.asarray(mb))
-        )
-        # gate: distance from predicted projection
-        pred_full = np.full((K, 2), 1e9)
-        pred_full[idx_a] = uv_pred
-        d2 = ((pred_full[:, None, :] - np.asarray(uv_b)[None, :, :]) ** 2).sum(-1)
-        dist[d2 > gate_radius * gate_radius] = int(MAX_DIST)
-        assign = np.asarray(
-            mutual_best_assignment(jnp.asarray(dist), self.cfg.matching_threshold)
-        )
-        return [(ia, int(assign[ia])) for ia in idx_a if assign[ia] >= 0]
-
     def _triangulate_and_add(
-        self, estimator, frame_a, frame_b, cam, matches, T_WS_b
+        self, estimator, frame_a, frame_b, cam_a, cam_b, matches, T_WC_a, T_WC_b
     ) -> int:
-        """Triangulate 2D-2D matches between frame A and B (same camera) and
-        create landmarks (ref setBestMatch 2D-2D path)."""
-        fa, fb = frame_a.frames[cam], frame_b.frames[cam]
-        T_WC_a = self._frame_T_WC(estimator, frame_a.id, cam)
-        T_WC_b = self._frame_T_WC(estimator, T_WS_b, cam)
-        ia = jnp.asarray([m[0] for m in matches])
-        ib = jnp.asarray([m[1] for m in matches])
-        spec = self.rig.specs[cam]
-        intr = estimator.intrinsics[cam]
-        rays_a = jax.vmap(lambda p: pinhole.back_project(spec, intr, p))(fa.keypoints.uv[ia])
-        rays_b = jax.vmap(lambda p: pinhole.back_project(spec, intr, p))(fb.keypoints.uv[ib])
-        e_a = kin.quat_rotate(T_WC_a.q[None], rays_a)
-        e_a = e_a / jnp.linalg.norm(e_a, axis=-1, keepdims=True)
-        e_b = kin.quat_rotate(T_WC_b.q[None], rays_b)
-        e_b = e_b / jnp.linalg.norm(e_b, axis=-1, keepdims=True)
-        n = len(matches)
-        sigma = jnp.full((n,), 2.0 / float(intr[0]))  # ~2 px ray uncertainty
-        out = triangulate_fast(
-            jnp.tile(T_WC_a.r, (n, 1)), e_a, jnp.tile(T_WC_b.r, (n, 1)), e_b, sigma
+        """Triangulate matched pairs and create landmarks (ref setBestMatch
+        2D-2D path). frame_a/b may be the same multiframe (stereo)."""
+        fa, fb = frame_a.frames[cam_a], frame_b.frames[cam_b]
+        K = self.cfg.max_keypoints
+        uv_a = np.zeros((K, 2))
+        uv_b = np.zeros((K, 2))
+        pmask = np.zeros(K, bool)
+        n = min(len(matches), K)
+        uva_np, uvb_np = np.asarray(fa.keypoints.uv), np.asarray(fb.keypoints.uv)
+        for j, (ia, ib) in enumerate(matches[:n]):
+            uv_a[j] = uva_np[ia]
+            uv_b[j] = uvb_np[ib]
+            pmask[j] = True
+        hp, valid, parallel = kernels.triangulate_pairs(
+            self.rig.specs[cam_a],
+            self.rig.specs[cam_b],
+            estimator.intrinsics[cam_a],
+            estimator.intrinsics[cam_b],
+            T_WC_a,
+            T_WC_b,
+            jnp.asarray(uv_a),
+            jnp.asarray(uv_b),
+            jnp.asarray(pmask),
         )
-        valid = np.asarray(out.valid) & ~np.asarray(out.parallel)
-        hp = np.asarray(out.hp)
+        ok = np.asarray(valid) & ~np.asarray(parallel)
+        hp = np.asarray(hp)
         added = 0
-        for k in np.nonzero(valid)[0]:
-            w = hp[k, 3]
+        for j in np.nonzero(ok[:n])[0]:
+            w = hp[j, 3]
             if abs(w) < 1e-8:
                 continue
+            ia, ib = matches[j]
             lm_id = IdProvider.new_id()
-            p_W = hp[k, :3] / w
             try:
-                estimator.add_landmark(lm_id, p_W)
+                estimator.add_landmark(lm_id, hp[j, :3] / w)
             except RuntimeError:
                 break  # landmark table full
-            ia_k, ib_k = matches[k]
-            frame_a.set_landmark_id(cam, ia_k, lm_id)
-            frame_b.set_landmark_id(cam, ib_k, lm_id)
+            frame_a.set_landmark_id(cam_a, ia, lm_id)
+            frame_b.set_landmark_id(cam_b, ib, lm_id)
             estimator.add_observation(
-                lm_id, frame_a.id, cam, np.asarray(fa.keypoints.uv[ia_k]),
-                keypoint_idx=int(ia_k), size=8.0,
+                lm_id, frame_a.id, cam_a, uva_np[ia], keypoint_idx=ia, size=8.0
             )
             estimator.add_observation(
-                lm_id, frame_b.id, cam, np.asarray(fb.keypoints.uv[ib_k]),
-                keypoint_idx=int(ib_k), size=8.0,
+                lm_id, frame_b.id, cam_b, uvb_np[ib], keypoint_idx=ib, size=8.0
             )
             added += 1
         return added
@@ -346,71 +319,45 @@ class Frontend:
         C = multiframe.num_cameras
         for ca in range(C):
             for cb in range(ca + 1, C):
-                if not (self.rig.has_overlap(ca, cb) or self.rig.overlaps is None):
+                if self.rig.overlaps is not None and not self.rig.has_overlap(ca, cb):
                     continue
                 fa, fb = multiframe.frames[ca], multiframe.frames[cb]
                 free_a = np.asarray(fa.keypoints.mask) & (fa.landmark_ids == 0)
                 free_b = np.asarray(fb.keypoints.mask) & (fb.landmark_ids == 0)
-                ia_list, ib_list = np.nonzero(free_a)[0], np.nonzero(free_b)[0]
-                if not len(ia_list) or not len(ib_list):
+                if not free_a.any() or not free_b.any():
                     continue
-                matches = self._plain_match(fa.descriptors, fb.descriptors, ia_list, ib_list)
+                assign = np.asarray(
+                    kernels.plain_match(
+                        fa.descriptors,
+                        fb.descriptors,
+                        jnp.asarray(free_a),
+                        jnp.asarray(free_b),
+                        threshold=self.cfg.matching_threshold,
+                    )
+                )
+                matches = [
+                    (int(ia), int(assign[ia])) for ia in np.nonzero(assign >= 0)[0]
+                ]
                 if not matches:
                     continue
-                self._triangulate_stereo(estimator, multiframe, ca, cb, matches, T_WS)
-
-    def _triangulate_stereo(self, estimator, multiframe, ca, cb, matches, T_WS):
-        fa, fb = multiframe.frames[ca], multiframe.frames[cb]
-        T_WC_a = kin.compose(T_WS, estimator.get_extrinsics(ca))
-        T_WC_b = kin.compose(T_WS, estimator.get_extrinsics(cb))
-        ia = jnp.asarray([m[0] for m in matches])
-        ib = jnp.asarray([m[1] for m in matches])
-        rays_a = jax.vmap(
-            lambda p: pinhole.back_project(self.rig.specs[ca], estimator.intrinsics[ca], p)
-        )(fa.keypoints.uv[ia])
-        rays_b = jax.vmap(
-            lambda p: pinhole.back_project(self.rig.specs[cb], estimator.intrinsics[cb], p)
-        )(fb.keypoints.uv[ib])
-        e_a = kin.quat_rotate(T_WC_a.q[None], rays_a)
-        e_a = e_a / jnp.linalg.norm(e_a, axis=-1, keepdims=True)
-        e_b = kin.quat_rotate(T_WC_b.q[None], rays_b)
-        e_b = e_b / jnp.linalg.norm(e_b, axis=-1, keepdims=True)
-        n = len(matches)
-        sigma = jnp.full((n,), 2.0 / float(estimator.intrinsics[ca][0]))
-        out = triangulate_fast(
-            jnp.tile(T_WC_a.r, (n, 1)), e_a, jnp.tile(T_WC_b.r, (n, 1)), e_b, sigma
-        )
-        valid = np.asarray(out.valid) & ~np.asarray(out.parallel)
-        hp = np.asarray(out.hp)
-        for k in np.nonzero(valid)[0]:
-            w = hp[k, 3]
-            if abs(w) < 1e-8:
-                continue
-            lm_id = IdProvider.new_id()
-            try:
-                estimator.add_landmark(lm_id, hp[k, :3] / w)
-            except RuntimeError:
-                break
-            ia_k, ib_k = matches[k]
-            multiframe.set_landmark_id(ca, ia_k, lm_id)
-            multiframe.set_landmark_id(cb, ib_k, lm_id)
-            estimator.add_observation(
-                lm_id, multiframe.id, ca, np.asarray(fa.keypoints.uv[ia_k]),
-                keypoint_idx=int(ia_k), size=8.0,
-            )
-            estimator.add_observation(
-                lm_id, multiframe.id, cb, np.asarray(fb.keypoints.uv[ib_k]),
-                keypoint_idx=int(ib_k), size=8.0,
-            )
+                T_WC_a = kin.compose(T_WS, estimator.get_extrinsics(ca))
+                T_WC_b = kin.compose(T_WS, estimator.get_extrinsics(cb))
+                self._triangulate_and_add(
+                    estimator, multiframe, multiframe, ca, cb, matches, T_WC_a, T_WC_b
+                )
 
     # ------------------------------------------------------------------
     def _ransac_3d2d(self, estimator, multiframe, T_WS):
         """Absolute-pose RANSAC over the frame's 3D-2D associations; outlier
-        observations are removed (ref runRansac3d2d, Frontend.cpp:575-642)."""
-        rows = []  # (cam, kp_idx, lm_id, point_W, bearing_C)
+        observations are removed (ref runRansac3d2d, Frontend.cpp:575-642).
+
+        Fixed-capacity: one RANSAC call per camera over padded (K,) tables."""
+        K = self.cfg.max_keypoints
         for cam in range(multiframe.num_cameras):
             f = multiframe.frames[cam]
-            T_CW = kin.inverse(self._frame_T_WC(estimator, T_WS, cam))
+            sel = np.zeros(K, bool)
+            pts = np.zeros((K, 3))
+            kp_rows = []
             for k in np.nonzero(f.landmark_ids != 0)[0]:
                 lm_id = int(f.landmark_ids[k])
                 if not estimator.is_landmark_added(lm_id):
@@ -418,28 +365,17 @@ class Frontend:
                 hp = estimator.get_landmark(lm_id)
                 if abs(hp[3]) < 1e-8:
                     continue
-                p_W = hp[:3] / hp[3]
-                ray = pinhole.back_project(
-                    self.rig.specs[cam], estimator.intrinsics[cam], f.keypoints.uv[k]
-                )
-                # bearing expressed in the sensor frame S would need the
-                # noncentral solver; approximate with cam-0-centric frame
-                ray_C = np.asarray(ray) / np.linalg.norm(np.asarray(ray))
-                rows.append((cam, int(k), lm_id, p_W, ray_C))
-        if len(rows) < 8:
-            return
-        pts = jnp.asarray(np.stack([r[3] for r in rows]))
-        bear = jnp.asarray(np.stack([r[4] for r in rows]))
-        # express points in the predicted camera frame of each obs' camera:
-        # run RANSAC per camera (central solver per camera, like the ref's
-        # noncentral GP3P restricted to one camera at a time)
-        for cam in range(multiframe.num_cameras):
-            sel = np.asarray([r[0] == cam for r in rows])
+                sel[k] = True
+                pts[k] = hp[:3] / hp[3]
+                kp_rows.append(k)
             if sel.sum() < 8:
                 continue
+            bear = kernels.back_project_batch(
+                self.rig.specs[cam], estimator.intrinsics[cam], f.keypoints.uv
+            )
             res = ransac_absolute_pose(
                 self._next_key(),
-                pts,
+                jnp.asarray(pts),
                 bear,
                 jnp.asarray(sel),
                 focal=float(estimator.intrinsics[cam][0]),
@@ -448,7 +384,7 @@ class Frontend:
             if not bool(res.success):
                 continue
             outliers = sel & ~np.asarray(res.inliers)
-            for i in np.nonzero(outliers)[0]:
-                cam_i, k_i, lm_id, _, _ = rows[i]
-                estimator.remove_observation(lm_id, multiframe.id, cam_i, k_i)
-                multiframe.set_landmark_id(cam_i, k_i, 0)
+            for k in np.nonzero(outliers)[0]:
+                lm_id = int(f.landmark_ids[k])
+                estimator.remove_observation(lm_id, multiframe.id, cam, int(k))
+                multiframe.set_landmark_id(cam, int(k), 0)

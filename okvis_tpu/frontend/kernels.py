@@ -1,0 +1,103 @@
+"""Jitted fixed-shape frontend kernels.
+
+Every per-frame vision operation is a jit-compiled function over
+fixed-capacity padded arrays — compiled once per (capacity, camera-spec) and
+then retrace-free for the whole sequence. Eager vmap re-traces on every call
+(Python overhead ≫ compute for 400-keypoint workloads), so the host frontend
+must only ever call these.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import kinematics as kin
+from ..cameras import pinhole
+from ..cameras.pinhole import CameraSpec
+from ..ops.hamming import MAX_DIST, masked_distance_matrix, mutual_best_assignment
+from .triangulation import triangulate_fast
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def gated_match(
+    desc_a: jnp.ndarray,  # (K, 16) uint32
+    desc_b: jnp.ndarray,
+    mask_a: jnp.ndarray,  # (K,)
+    mask_b: jnp.ndarray,
+    pred_uv: jnp.ndarray,  # (K, 2) predicted projection per A row (1e9 = no gate hit)
+    uv_b: jnp.ndarray,  # (K, 2)
+    gate_radius: jnp.ndarray,  # scalar px
+    threshold: int = 60,
+) -> jnp.ndarray:
+    """3D-2D matching: Hamming distances + image-space gate + 1:1 assignment.
+    Returns (K,) matched B index per A or -1."""
+    dist = masked_distance_matrix(desc_a, desc_b, mask_a, mask_b)
+    d2 = jnp.sum((pred_uv[:, None, :] - uv_b[None, :, :]) ** 2, axis=-1)
+    dist = jnp.where(d2 > gate_radius * gate_radius, MAX_DIST, dist)
+    return mutual_best_assignment(dist, threshold)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def plain_match(desc_a, desc_b, mask_a, mask_b, threshold: int = 60) -> jnp.ndarray:
+    dist = masked_distance_matrix(desc_a, desc_b, mask_a, mask_b)
+    return mutual_best_assignment(dist, threshold)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def project_hpoints(
+    spec: CameraSpec, intrinsics: jnp.ndarray, T_CW: kin.SE3, hp_W: jnp.ndarray
+):
+    """Project (K, 4) homogeneous world points -> ((K,2) uv, (K,) ok)."""
+    hp_C = jax.vmap(lambda p: kin.transform_hpoint(T_CW, p))(hp_W)
+    uv, flags = jax.vmap(
+        lambda p: pinhole.project_homogeneous(spec, intrinsics, p)
+    )(hp_C)
+    return uv, flags == pinhole.STATUS_OK
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def project_points(
+    spec: CameraSpec, intrinsics: jnp.ndarray, T_CW: kin.SE3, p_W: jnp.ndarray
+):
+    """Project (K, 3) world points -> ((K,2) uv, (K,) ok)."""
+    p_C = jax.vmap(lambda p: kin.transform_point(T_CW, p))(p_W)
+    uv, flags = jax.vmap(lambda p: pinhole.project(spec, intrinsics, p))(p_C)
+    return uv, flags == pinhole.STATUS_OK
+
+
+@functools.partial(jax.jit, static_argnames=("spec_a", "spec_b"))
+def triangulate_pairs(
+    spec_a: CameraSpec,
+    spec_b: CameraSpec,
+    intr_a: jnp.ndarray,
+    intr_b: jnp.ndarray,
+    T_WC_a: kin.SE3,
+    T_WC_b: kin.SE3,
+    uv_a: jnp.ndarray,  # (K, 2) paired keypoints
+    uv_b: jnp.ndarray,  # (K, 2)
+    pair_mask: jnp.ndarray,  # (K,)
+):
+    """Batched two-view triangulation of matched keypoint pairs.
+    Returns (hp_W (K,4), valid (K,), parallel (K,))."""
+    K = uv_a.shape[0]
+    rays_a = jax.vmap(lambda p: pinhole.back_project(spec_a, intr_a, p))(uv_a)
+    rays_b = jax.vmap(lambda p: pinhole.back_project(spec_b, intr_b, p))(uv_b)
+    e_a = kin.quat_rotate(T_WC_a.q[None], rays_a)
+    e_a = e_a / jnp.linalg.norm(e_a, axis=-1, keepdims=True)
+    e_b = kin.quat_rotate(T_WC_b.q[None], rays_b)
+    e_b = e_b / jnp.linalg.norm(e_b, axis=-1, keepdims=True)
+    sigma = jnp.full((K,), 2.0 / intr_a[0], dtype=uv_a.dtype)
+    out = triangulate_fast(
+        jnp.tile(T_WC_a.r, (K, 1)), e_a, jnp.tile(T_WC_b.r, (K, 1)), e_b, sigma
+    )
+    return out.hp, out.valid & pair_mask, out.parallel
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def back_project_batch(spec: CameraSpec, intrinsics: jnp.ndarray, uv: jnp.ndarray):
+    """(K,2) pixels -> (K,3) unit bearings in camera frame."""
+    rays = jax.vmap(lambda p: pinhole.back_project(spec, intrinsics, p))(uv)
+    return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)

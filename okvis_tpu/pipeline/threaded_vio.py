@@ -1,0 +1,377 @@
+"""The VIO pipeline: async host stages around jitted device programs.
+
+TPU-native re-design of the reference ThreadedKFVio
+(/root/reference/okvis_multisensor_processing/src/ThreadedKFVio.cpp): the
+same stage graph — per-camera detection, matching, optimization,
+publishing — connected by bounded queues with the reference's shedding
+policies (drop stale images :198-204, drop-oldest on full queues :224-226,
+size-1 backpressure in blocking mode :312-319), but with far fewer threads:
+detection/matching/BA are single device calls, so one worker per stage
+suffices; XLA's async dispatch overlaps detection of frame t+1 with the BA
+of frame t.
+
+Input API mirrors okvis::VioInterface
+(/root/reference/okvis_common/include/okvis/VioInterface.hpp:66-321):
+add_image / add_imu_measurement, blocking mode, state callbacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import kinematics as kin
+from ..cameras.ncamera import NCameraSystem
+from ..config.parameters import VioParameters
+from ..config.yaml_reader import build_imu_params, build_rig
+from ..estimator.estimator import Estimator
+from ..frontend.frame import MultiFrame
+from ..frontend.frontend import Frontend, FrontendConfig
+from ..imu.preintegration import ImuParams
+from ..utils.ids import IdProvider
+from ..utils.timing import Timer, Timing
+from .queues import ShutdownError, ThreadSafeQueue
+from .synchronizer import FrameSynchronizer, ImuFrameSynchronizer
+
+NS = 1_000_000_000
+IMU_OVERLAP_NS = 20_000_000  # ±0.02 s slice overlap (ThreadedKFVio.cpp:52-53)
+
+
+@dataclasses.dataclass
+class StateEstimate:
+    timestamp_ns: int
+    T_WS: kin.SE3
+    speed_and_bias: np.ndarray
+    is_keyframe: bool = False
+
+
+class ThreadedVio:
+    """Pipeline runtime. In blocking mode every add_* call backpressures until
+    the measurement is consumed (deterministic dataset processing, the mode
+    used for benchmarks — ThreadedKFVio.cpp:312-319)."""
+
+    def __init__(
+        self,
+        params: VioParameters,
+        rig: Optional[NCameraSystem] = None,
+        blocking: bool = True,
+        dtype=jnp.float32,
+    ):
+        self.params = params
+        self.rig = rig or build_rig(params)
+        self.imu_params = build_imu_params(params, dtype=dtype)
+        self.estimator = Estimator(
+            self.rig,
+            self.imu_params,
+            num_keyframes=params.optimization.num_keyframes,
+            num_imu_frames=params.optimization.num_imu_frames,
+            dtype=dtype,
+        )
+        self.frontend = Frontend(
+            self.rig,
+            FrontendConfig(
+                detection_threshold=params.optimization.detection_threshold,
+                max_keypoints=params.optimization.max_num_keypoints,
+            ),
+        )
+        self.blocking = blocking
+
+        # queues (ThreadedKFVio.hpp:343-375)
+        self.camera_queues = [ThreadSafeQueue() for _ in range(self.rig.num_cameras)]
+        self.keypoint_queue = ThreadSafeQueue()
+        self.imu_queue = ThreadSafeQueue()
+        self.result_queue = ThreadSafeQueue()
+
+        self.frame_synchronizer = FrameSynchronizer(
+            self.rig.num_cameras,
+            tolerance_ns=int(params.camera_params.timestamp_tolerance * NS),
+        )
+        self.imu_synchronizer = ImuFrameSynchronizer()
+
+        # IMU buffer (host deque of (ns, gyro, acc))
+        self._imu_lock = threading.Lock()
+        self._imu_ts: List[int] = []
+        self._imu_gyro: List[np.ndarray] = []
+        self._imu_acc: List[np.ndarray] = []
+
+        self._last_added_ns = -1
+        self._last_optimized: Optional[StateEstimate] = None
+        self._state_lock = threading.Lock()
+        # session epoch: estimator times are seconds relative to the first
+        # measurement so f32 device arithmetic keeps sub-ms resolution
+        self._epoch_ns: Optional[int] = None
+
+        # callbacks (VioInterface.hpp:70-87)
+        self.state_callback: Optional[Callable] = None
+        self.full_state_callback: Optional[Callable] = None
+        self.landmarks_callback: Optional[Callable] = None
+
+        self.trajectory: List[StateEstimate] = []  # every optimized state
+
+        # quiescence counters for wait_idle (GIL-atomic increments)
+        self._images_fed = 0
+        self._images_consumed = 0
+        self._frames_enqueued = 0
+        self._frames_processed = 0
+
+        self._running = True
+        self._threads: List[threading.Thread] = []
+        self._start_threads()
+
+    # ------------------------------------------------------------------
+    # VioInterface inputs
+    # ------------------------------------------------------------------
+    def add_image(self, timestamp_ns: int, cam_idx: int, image: np.ndarray) -> bool:
+        """Drops images older than the last processed frame
+        (ThreadedKFVio.cpp:198-204)."""
+        if timestamp_ns < self._last_added_ns - 1_000_000:
+            return False
+        q = self.camera_queues[cam_idx]
+        item = (timestamp_ns, cam_idx, image)
+        self._images_fed += 1
+        if self.blocking:
+            ok = q.push_blocking_if_full(item, 1)
+            if not ok:
+                self._images_consumed += 1  # never entered the pipeline
+            return ok
+        if q.push_nonblocking_dropping_if_full(item, 1):
+            self._images_consumed += 1  # an old image was dropped
+        return True
+
+    def add_imu_measurement(self, timestamp_ns: int, gyro, acc) -> bool:
+        item = (int(timestamp_ns), np.asarray(gyro, np.float64), np.asarray(acc, np.float64))
+        if self.blocking:
+            # consume synchronously: the IMU path is cheap
+            self._consume_imu(item)
+            return True
+        self.imu_queue.push_nonblocking_dropping_if_full(item, 2000)
+        return True
+
+    # ------------------------------------------------------------------
+    def _to_sec(self, ns: int) -> float:
+        if self._epoch_ns is None:
+            self._epoch_ns = int(ns)
+        return (int(ns) - self._epoch_ns) / NS
+
+    def _consume_imu(self, item) -> None:
+        ts, gyro, acc = item
+        if self._epoch_ns is None:
+            self._epoch_ns = int(ts)
+        with self._imu_lock:
+            if self._imu_ts and ts <= self._imu_ts[-1]:
+                return  # enforce monotone timestamps (ThreadedKFVio.cpp:554-557)
+            self._imu_ts.append(ts)
+            self._imu_gyro.append(gyro)
+            self._imu_acc.append(acc)
+        self.imu_synchronizer.got_imu_data(ts)
+
+    def _get_imu_slice(self, t0_ns: int, t1_ns: int):
+        """IMU measurements covering [t0-0.02s, t1+0.02s]
+        (ThreadedKFVio::getImuMeasurments, ThreadedKFVio.cpp:663-697)."""
+        lo = t0_ns - IMU_OVERLAP_NS
+        hi = t1_ns + IMU_OVERLAP_NS
+        with self._imu_lock:
+            ts = np.asarray(self._imu_ts, dtype=np.int64)
+            i0 = int(np.searchsorted(ts, lo, side="left"))
+            i1 = int(np.searchsorted(ts, hi, side="right"))
+            i0 = max(0, i0 - 1)
+            return (
+                ts[i0:i1].copy(),
+                np.stack(self._imu_gyro[i0:i1]) if i1 > i0 else np.zeros((0, 3)),
+                np.stack(self._imu_acc[i0:i1]) if i1 > i0 else np.zeros((0, 3)),
+            )
+
+    def _trim_imu(self, before_ns: int) -> None:
+        """Delete IMU measurements no longer needed
+        (ThreadedKFVio.cpp:756-772)."""
+        with self._imu_lock:
+            ts = np.asarray(self._imu_ts, dtype=np.int64)
+            keep = int(np.searchsorted(ts, before_ns - 2 * IMU_OVERLAP_NS, side="left"))
+            if keep > 0:
+                del self._imu_ts[:keep]
+                del self._imu_gyro[:keep]
+                del self._imu_acc[:keep]
+
+    # ------------------------------------------------------------------
+    # pipeline stages
+    # ------------------------------------------------------------------
+    def _start_threads(self) -> None:
+        for cam in range(self.rig.num_cameras):
+            t = threading.Thread(
+                target=self._frame_consumer_loop, args=(cam,), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+        t = threading.Thread(target=self._processing_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        t = threading.Thread(target=self._publisher_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        if not self.blocking:
+            t = threading.Thread(target=self._imu_consumer_loop, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _imu_consumer_loop(self) -> None:
+        while self._running:
+            try:
+                item = self.imu_queue.pop_blocking()
+            except ShutdownError:
+                return
+            self._consume_imu(item)
+
+    def _frame_consumer_loop(self, cam: int) -> None:
+        """Detection stage (frameConsumerLoop, ThreadedKFVio.cpp:322-453)."""
+        while self._running:
+            try:
+                ts, cam_idx, image = self.camera_queues[cam].pop_blocking()
+            except ShutdownError:
+                return
+            with Timer(f"1.{cam} detect"):
+                group = None
+                with self._state_lock:
+                    group = self.frame_synchronizer.add_frame(ts, cam_idx, image)
+            if group is None:
+                self._images_consumed += 1
+                continue
+            self._frames_enqueued += 1
+            # wait until IMU covers this frame (ImuFrameSynchronizer.cpp:64-75)
+            if not self.imu_synchronizer.wait_for_up_to_date_imu_data(
+                group["timestamp_ns"] + IMU_OVERLAP_NS, timeout=5.0
+            ):
+                continue
+            # predicted pose for gravity-aligned extraction
+            T_WC = None
+            last = self._last_optimized
+            if last is not None:
+                T_WC = kin.compose(last.T_WS, self.rig.camera_T_SC(cam_idx))
+            frames = []
+            with Timer("1.x detectAndDescribe"):
+                for c in sorted(group["images"].keys()):
+                    frames.append(
+                        self.frontend.detect_and_describe(
+                            c, jnp.asarray(group["images"][c], jnp.float32), T_WC
+                        )
+                    )
+            mf = MultiFrame(
+                id=IdProvider.new_id(),
+                timestamp=group["timestamp_ns"] / NS,
+                frames=frames,
+            )
+            mf.timestamp_ns = group["timestamp_ns"]
+            self._images_consumed += len(group["images"])
+            self.keypoint_queue.push_blocking_if_full(mf, 1)
+
+    def _processing_loop(self) -> None:
+        """Matching + optimization + marginalization (matchingLoop +
+        optimizationLoop, ThreadedKFVio.cpp:456-539, 720-854)."""
+        est = self.estimator
+        while self._running:
+            try:
+                mf: MultiFrame = self.keypoint_queue.pop_blocking()
+            except ShutdownError:
+                return
+            self._frames_processed += 1
+            ts_ns = mf.timestamp_ns
+            epoch0 = self._epoch_ns or 0
+            last_ns = (
+                epoch0 + int(est._last_state().timestamp * NS)
+                if est.states
+                else ts_ns
+            )
+            imu_ts, gyro, acc = self._get_imu_slice(min(last_ns, ts_ns), ts_ns)
+            if len(imu_ts) < 2:
+                continue
+            with Timer("2.1 addStates"):
+                try:
+                    epoch = self._epoch_ns or 0
+                    sid = est.add_states(
+                        self._to_sec(ts_ns),
+                        (imu_ts - epoch) / NS,
+                        gyro,
+                        acc,
+                        as_keyframe=False,
+                        frame_id=mf.id,
+                    )
+                except RuntimeError:
+                    continue  # "Failed to add state! will drop multiframe."
+            est.multiframes[mf.id] = mf
+            T_WS_prop = est.get_T_WS(sid)
+            with Timer("2.4 matching"):
+                as_keyframe = self.frontend.data_association_and_initialization(
+                    est, T_WS_prop, mf
+                )
+            est.set_keyframe(sid, as_keyframe)
+            with Timer("3.1 optimization"):
+                est.optimize()
+            with Timer("3.2 marginalization"):
+                removed = est.apply_marginalization_strategy()
+            self._trim_imu(epoch0 + int(est._states_by_time()[0].timestamp * NS))
+
+            result = StateEstimate(
+                timestamp_ns=ts_ns,
+                T_WS=est.get_T_WS(sid),
+                speed_and_bias=est.get_speed_and_bias(sid),
+                is_keyframe=as_keyframe,
+            )
+            with self._state_lock:
+                self._last_optimized = result
+                self.trajectory.append(result)
+            self.result_queue.push_nonblocking_dropping_if_full(result, 10)
+
+    def _publisher_loop(self) -> None:
+        """Callback publishing (publisherLoop, ThreadedKFVio.cpp:857-878)."""
+        while self._running:
+            try:
+                result: StateEstimate = self.result_queue.pop_blocking()
+            except ShutdownError:
+                return
+            if self.state_callback:
+                self.state_callback(result.timestamp_ns, result.T_WS)
+            if self.full_state_callback:
+                self.full_state_callback(
+                    result.timestamp_ns, result.T_WS, result.speed_and_bias
+                )
+            if self.landmarks_callback:
+                lms = {
+                    lm_id: self.estimator.get_landmark(lm_id)
+                    for lm_id in list(self.estimator.landmarks.keys())
+                }
+                self.landmarks_callback(result.timestamp_ns, lms)
+
+    # ------------------------------------------------------------------
+    def wait_idle(self, timeout: float = 60.0) -> None:
+        """Block until every fed measurement has fully traversed the pipeline
+        (consumed, synchronized, matched, optimized)."""
+        import time
+
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if (
+                self._images_consumed >= self._images_fed
+                and self._frames_processed >= self._frames_enqueued
+                and all(len(q) == 0 for q in self.camera_queues)
+                and len(self.keypoint_queue) == 0
+            ):
+                return
+            time.sleep(0.002)
+
+    def shutdown(self) -> str:
+        """Graceful shutdown: wake all blocked stages, join, and return the
+        timing table (ThreadedKFVio.cpp:152-189 + Timing::print)."""
+        self.wait_idle()
+        self._running = False
+        for q in self.camera_queues:
+            q.shutdown()
+        self.keypoint_queue.shutdown()
+        self.imu_queue.shutdown()
+        self.result_queue.shutdown()
+        self.imu_synchronizer.shutdown()
+        for t in self._threads:
+            t.join(timeout=5.0)
+        return Timing.print()

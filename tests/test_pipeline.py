@@ -1,0 +1,178 @@
+"""Pipeline tests — analogs of the reference Tier-3 suite
+(/root/reference/okvis_multisensor_processing/test/): queue semantics,
+frame synchronization, and the full ThreadedVio loop with a stubbed detector
+(the gmock-equivalent: testDataFlow.cpp:24-113 mocks detection the same way)."""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from okvis_tpu import kinematics as kin
+from okvis_tpu.config import read_config
+from okvis_tpu.datasets.synthetic import euroc_stereo_rig, make_landmarks, simulate_trajectory
+from okvis_tpu.cameras import NCameraSystem, pinhole
+from okvis_tpu.eval import ate_rmse
+from okvis_tpu.frontend.detection import Keypoints
+from okvis_tpu.frontend.frame import FrameData
+from okvis_tpu.pipeline import FrameSynchronizer, ThreadSafeQueue, ThreadedVio
+from okvis_tpu.pipeline.queues import ShutdownError
+
+NS = 1_000_000_000
+
+
+# ---------------------------------------------------------------- queues
+def test_queue_backpressure_and_drop():
+    q = ThreadSafeQueue()
+    q.push_nonblocking_dropping_if_full(1, 2)
+    q.push_nonblocking_dropping_if_full(2, 2)
+    dropped = q.push_nonblocking_dropping_if_full(3, 2)
+    assert dropped
+    assert q.pop_blocking() == 2  # 1 was dropped (oldest)
+    assert q.pop_blocking() == 3
+
+
+def test_queue_shutdown_wakes_consumer():
+    q = ThreadSafeQueue()
+    woke = []
+
+    def consumer():
+        try:
+            q.pop_blocking()
+        except ShutdownError:
+            woke.append(True)
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    time.sleep(0.05)
+    q.shutdown()
+    t.join(timeout=2)
+    assert woke == [True]
+
+
+# ---------------------------------------------------------------- synchronizer
+def test_frame_synchronizer_groups_stereo():
+    """Analog of testSynchronizer.cpp:24-128: correct order, missing frames,
+    out-of-order tolerance."""
+    fs = FrameSynchronizer(2, tolerance_ns=5_000_000)
+    assert fs.add_frame(1000 * NS, 0, "a0") is None
+    g = fs.add_frame(1000 * NS + 1_000_000, 1, "a1")
+    assert g is not None and set(g["images"]) == {0, 1}
+    # missing partner: group dropped after buffer overflow
+    assert fs.add_frame(2000 * NS, 0, "b0") is None
+    assert fs.add_frame(3000 * NS, 0, "c0") is None
+    assert fs.add_frame(4000 * NS, 0, "d0") is None
+    assert fs.add_frame(5000 * NS, 0, "e0") is None  # b0's group evicted
+    g = fs.add_frame(5000 * NS + 100_000, 1, "e1")
+    assert g is not None
+    # far-apart timestamps never group
+    fs2 = FrameSynchronizer(2, tolerance_ns=5_000_000)
+    fs2.add_frame(0, 0, "x")
+    assert fs2.add_frame(50_000_000, 1, "y") is None
+
+
+# ---------------------------------------------------------------- full loop
+def _make_params():
+    p = read_config("/root/reference/config/config_fpga_p2_euroc.yaml")
+    p.optimization.max_num_keypoints = 96
+    return p
+
+
+class StubDetector:
+    """Ground-truth detector: projects world landmarks, descriptor per
+    landmark = fixed random 512-bit word (+ a few flipped bits of noise)."""
+
+    def __init__(self, rig, lms, max_kp=96, seed=0):
+        self.rig = rig
+        self.lms = lms
+        self.max_kp = max_kp
+        rng = np.random.default_rng(seed)
+        self.descs = rng.integers(0, 2**32, (len(lms), 16), dtype=np.uint32)
+        self.rng = rng
+        self.T_WS_true = None  # set per frame by the test
+
+    def __call__(self, cam_idx, image, T_WC=None):
+        from okvis_tpu.frontend import kernels
+
+        rig = self.rig
+        T_WC = kin.compose(self.T_WS_true, rig.camera_T_SC(cam_idx))
+        T_CW = kin.inverse(T_WC)
+        uv, ok_j = kernels.project_points(
+            rig.specs[cam_idx], rig.intrinsics[cam_idx], T_CW, jnp.asarray(self.lms)
+        )
+        ok = np.asarray(ok_j)
+        idx = np.nonzero(ok)[0][: self.max_kp]
+        K = self.max_kp
+        uv_full = np.zeros((K, 2), np.float64)
+        mask = np.zeros(K, bool)
+        desc = np.zeros((K, 16), np.uint32)
+        n = len(idx)
+        uv_full[:n] = np.asarray(uv)[idx] + self.rng.normal(0, 0.4, (n, 2))
+        mask[:n] = True
+        desc[:n] = self.descs[idx]
+        # flip ~6 random bits per descriptor (sensor noise)
+        for i in range(n):
+            for _ in range(6):
+                w = self.rng.integers(0, 16)
+                b = self.rng.integers(0, 32)
+                desc[i, w] ^= np.uint32(1) << np.uint32(b)
+        kps = Keypoints(
+            uv=jnp.asarray(uv_full), score=jnp.ones(K), mask=jnp.asarray(mask)
+        )
+        return FrameData(
+            keypoints=kps,
+            descriptors=jnp.asarray(desc),
+            landmark_ids=np.zeros(K, np.int64),
+        )
+
+
+@pytest.mark.slow
+def test_threaded_vio_synthetic_tracking():
+    """Full pipeline with stubbed detection: images+IMU in, trajectory out;
+    ATE must be small (the SURVEY §7 step-6 end-to-end slice)."""
+    params = _make_params()
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    rig.compute_overlaps()
+
+    traj = simulate_trajectory(duration=3.5, seed=21, motion_scale=0.5)
+    lms = make_landmarks(traj, 220, seed=22, radius=(3.0, 10.0))
+
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
+    stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
+    vio.frontend.detect_and_describe = stub
+
+    frame_dt = 0.1
+    imu_rate = 200
+    n_frames = 30
+    dummy_img = np.zeros((480, 752), np.float32)
+
+    # feed measurements in timestamp order (okvis_app_synchronous.cpp:361)
+    imu_i = 0
+    for fi in range(n_frames):
+        t_ns = int(fi * frame_dt * NS)
+        idx = int(round(fi * frame_dt * imu_rate))
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            vio.add_imu_measurement(
+                int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i]
+            )
+            imu_i += 1
+        stub.T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        vio.add_image(t_ns, 0, dummy_img)
+        vio.add_image(t_ns, 1, dummy_img)
+        vio.wait_idle(timeout=60)
+
+    table = vio.shutdown()
+    assert len(vio.trajectory) >= n_frames - 3, f"only {len(vio.trajectory)} frames tracked"
+
+    est_ts = np.asarray([s.timestamp_ns for s in vio.trajectory])
+    est_p = np.stack([np.asarray(s.T_WS.r) for s in vio.trajectory])
+    gt_ts = (traj.ts * NS).astype(np.int64)
+    ate = ate_rmse(est_ts, est_p, gt_ts, traj.r)
+    assert ate is not None
+    assert ate < 0.05, f"ATE {ate:.4f} m too large\n{table}"
+    # timing table exists for the pipeline stages (SURVEY §5.1)
+    assert "3.1 optimization" in table
