@@ -333,3 +333,60 @@ def build_ba_problem(
         "traj": traj,
     }
     return cfg, imu_params, intrinsics, problem, truth
+
+
+def render_world_image(
+    spec,
+    intrinsics,
+    T_WC,
+    landmark_pts: np.ndarray,
+    rng_seed: int = 77,
+    patch: int = 11,
+    background: float = 120.0,
+    noise: float = 1.0,
+) -> np.ndarray:
+    """Render a synthetic camera image: each 3D landmark is stamped as a
+    fixed random-texture patch at its projection (no occlusion handling).
+
+    Gives the real detection/description/matching path trackable features for
+    the full-vision end-to-end tests — the image-domain analog of
+    TestEstimator's synthetic observations.
+    """
+    import jax
+
+    from ..cameras import pinhole as _ph
+    from .. import kinematics as _kin
+
+    H, W = spec.height, spec.width
+    rng = np.random.default_rng(rng_seed)
+    # per-landmark texture, fixed across frames (deterministic from the seed)
+    textures = rng.uniform(-70.0, 70.0, (len(landmark_pts), patch, patch))
+    # sharpen: blocky 3x3 super-pixels give strong Harris corners
+    for t in textures:
+        t[:] = np.kron(
+            rng.uniform(-70, 70, (patch // 3 + 1, patch // 3 + 1)),
+            np.ones((3, 3)),
+        )[:patch, :patch]
+
+    img = np.full((H, W), background, np.float32)
+    yy = np.linspace(0, 10, H)[:, None]
+    xx = np.linspace(0, 7, W)[None, :]
+    img += (yy + xx).astype(np.float32)  # mild gradient
+    img += rng.normal(0, noise, (H, W)).astype(np.float32)
+
+    T_CW = _kin.inverse(T_WC)
+    p_C = np.array(
+        jax.vmap(lambda p: _kin.transform_point(T_CW, p))(jnp.asarray(landmark_pts))
+    )
+    uv, flags = jax.vmap(lambda p: _ph.project(spec, intrinsics, p))(
+        jnp.asarray(p_C)
+    )
+    uv = np.asarray(uv)
+    ok = np.asarray(flags) == 0
+    half = patch // 2
+    for li in np.nonzero(ok)[0]:
+        x, y = int(round(uv[li, 0])), int(round(uv[li, 1]))
+        if not (half <= x < W - half and half <= y < H - half):
+            continue
+        img[y - half : y + half + 1, x - half : x + half + 1] += textures[li]
+    return np.clip(img, 0, 255)
