@@ -33,10 +33,17 @@ def run(
     max_frames: int = 0,
     dtype=jnp.float32,
     trajectory_out: str = "trajectory.tum",
+    rig=None,
+    detection_threshold: float = None,
+    max_keypoints: int = None,
 ) -> dict:
     params = read_config(config_path)
+    if detection_threshold is not None:
+        params.optimization.detection_threshold = detection_threshold
+    if max_keypoints is not None:
+        params.optimization.max_num_keypoints = max_keypoints
     ds = EurocDataset(mav0_dir, num_cameras=len(params.cameras), skip_sec=skip_sec)
-    vio = ThreadedVio(params, blocking=True, dtype=dtype)
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=dtype)
 
     n_frames = 0
     t_start = time.perf_counter()

@@ -390,3 +390,65 @@ def render_world_image(
             continue
         img[y - half : y + half + 1, x - half : x + half + 1] += textures[li]
     return np.clip(img, 0, 255)
+
+
+def write_euroc_format(
+    out_dir: str,
+    traj: SyntheticImu,
+    landmark_pts: np.ndarray,
+    rig,
+    frame_dt: float = 0.1,
+    n_frames: int = 10,
+    epoch_ns: int = 1_400_000_000_000_000_000,
+) -> str:
+    """Write the synthetic world as an EuRoC ASL directory (mav0/...): per-cam
+    PNG frames named by nanosecond timestamp, imu0/data.csv, and ground truth
+    — so the EuRoC loader + CLI app run end-to-end without the real dataset.
+    Returns the mav0 path."""
+    import os
+
+    from PIL import Image
+
+    from .. import kinematics as _kin
+
+    mav0 = os.path.join(out_dir, "mav0")
+    os.makedirs(os.path.join(mav0, "imu0"), exist_ok=True)
+    with open(os.path.join(mav0, "imu0", "data.csv"), "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for i in range(len(traj.ts)):
+            t = epoch_ns + int(round(traj.ts[i] * 1e9))
+            g, a = traj.gyro[i], traj.acc[i]
+            f.write(f"{t},{g[0]},{g[1]},{g[2]},{a[0]},{a[1]},{a[2]}\n")
+
+    gt_dir = os.path.join(mav0, "state_groundtruth_estimate0")
+    os.makedirs(gt_dir, exist_ok=True)
+    with open(os.path.join(gt_dir, "data.csv"), "w") as f:
+        f.write("#timestamp,p,q,v\n")
+        for i in range(len(traj.ts)):
+            t = epoch_ns + int(round(traj.ts[i] * 1e9))
+            p, q, v = traj.r[i], traj.q[i], traj.v[i]
+            # EuRoC order: p(3), q(wxyz), v(3)
+            f.write(
+                f"{t},{p[0]},{p[1]},{p[2]},{q[3]},{q[0]},{q[1]},{q[2]},"
+                f"{v[0]},{v[1]},{v[2]}\n"
+            )
+
+    imu_rate = int(round(1.0 / (traj.ts[1] - traj.ts[0])))
+    for cam in range(rig.num_cameras):
+        d = os.path.join(mav0, f"cam{cam}", "data")
+        os.makedirs(d, exist_ok=True)
+        for fi in range(n_frames):
+            t = fi * frame_dt
+            idx = int(round(t * imu_rate))
+            if idx >= len(traj.ts):
+                break
+            T_WS = _kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+            T_WC = _kin.compose(T_WS, rig.camera_T_SC(cam))
+            img = render_world_image(
+                rig.specs[cam], rig.intrinsics[cam], T_WC, landmark_pts
+            )
+            ts_ns = epoch_ns + int(round(t * 1e9))
+            Image.fromarray(img.astype(np.uint8)).save(
+                os.path.join(d, f"{ts_ns}.png")
+            )
+    return mav0
