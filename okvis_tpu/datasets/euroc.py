@@ -26,16 +26,42 @@ class ImuSample:
     acc: np.ndarray  # (3,)
 
 
+_native_decode = None
+
+
+def _get_native_decode():
+    """Native libpng decoder (okvis_tpu.native), or None without a toolchain."""
+    global _native_decode
+    if _native_decode is None:
+        try:
+            from ..native import decode_png_gray, get_lib
+
+            get_lib()
+            _native_decode = decode_png_gray
+        except Exception:
+            _native_decode = False
+    return _native_decode or None
+
+
 @dataclasses.dataclass
 class ImageEvent:
     timestamp_ns: int
     cam_idx: int
     path: str
+    width: int = 752
+    height: int = 480
 
     def load(self) -> np.ndarray:
+        dec = _get_native_decode()
+        if dec is not None:
+            try:
+                return dec(self.path, self.height, self.width)
+            except IOError:
+                pass  # size mismatch etc. — fall back to PIL
         from PIL import Image
 
-        return np.asarray(Image.open(self.path).convert("L"), dtype=np.float32)
+        img = np.asarray(Image.open(self.path).convert("L"), dtype=np.float32)
+        return img
 
 
 class EurocDataset:
