@@ -875,3 +875,36 @@ class Estimator:
 
     def landmark_observation_count(self, lm_id: int) -> int:
         return sum(1 for o in self.observations if o.lm_id == lm_id)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (new capability vs reference — SURVEY.md §5.4:
+    # the estimator state is a plain host structure + arrays, so long-run
+    # benchmark resume comes nearly for free)
+    # ------------------------------------------------------------------
+    _CKPT_FIELDS = (
+        "states", "landmarks", "_lm_slot_to_id", "_free_state_slots",
+        "_free_lm_slots", "observations", "imu_links", "pose_priors",
+        "sb_priors", "r_WS", "q_WS", "sb", "hp_W", "r_SC", "q_SC",
+        "fej_r_WS", "fej_q_WS", "fej_sb", "marg_H", "marg_b0", "marg_c0",
+        "marg_valid",
+    )
+
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the full estimator state (window, landmarks, factor
+        tables, FEJ points, marginal prior) for resume."""
+        import pickle
+
+        blob = {k: getattr(self, k) for k in self._CKPT_FIELDS}
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore state saved by save_checkpoint into an estimator built
+        with the same config/rig."""
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        for k, v in blob.items():
+            setattr(self, k, v)
+        self.multiframes = {}

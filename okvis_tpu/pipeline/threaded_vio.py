@@ -111,6 +111,8 @@ class ThreadedVio:
         self.landmarks_callback: Optional[Callable] = None
 
         self.trajectory: List[StateEstimate] = []  # every optimized state
+        self._position_measurements: List[tuple] = []  # buffered, unused (ref parity)
+        self._csv_writers: Dict[str, object] = {}
 
         # quiescence counters for wait_idle (GIL-atomic increments)
         self._images_fed = 0
@@ -141,6 +143,37 @@ class ThreadedVio:
         if q.push_nonblocking_dropping_if_full(item, 1):
             self._images_consumed += 1  # an old image was dropped
         return True
+
+    # -- extension points of the reference API surface. The reference buffers
+    # position measurements unused and throws on the rest
+    # (ThreadedKFVio.cpp:231-241, 285-308); we mirror that contract.
+    def add_keypoints(self, timestamp_ns, cam_idx, keypoints, descriptors) -> bool:
+        raise NotImplementedError(
+            "external keypoint input is not implemented (matches reference "
+            "ThreadedKFVio::addKeypoints, ThreadedKFVio.cpp:231-241)"
+        )
+
+    def add_position_measurement(self, timestamp_ns, position, covariance=None) -> bool:
+        # buffered and unused, like the reference positionConsumerLoop
+        self._position_measurements.append((int(timestamp_ns), np.asarray(position)))
+        return True
+
+    def add_gps_measurement(self, *a, **k):
+        raise NotImplementedError("GPS input not implemented (matches reference)")
+
+    def add_magnetometer_measurement(self, *a, **k):
+        raise NotImplementedError("magnetometer input not implemented (matches reference)")
+
+    def add_barometer_measurement(self, *a, **k):
+        raise NotImplementedError("barometer input not implemented (matches reference)")
+
+    def add_differential_pressure_measurement(self, *a, **k):
+        raise NotImplementedError("differential pressure input not implemented (matches reference)")
+
+    def set_blocking(self, blocking: bool) -> None:
+        """ref VioInterface::setBlocking: blocking mode also implies
+        unlimited optimization time (ThreadedKFVio.cpp:312-319)."""
+        self.blocking = blocking
 
     def add_imu_measurement(self, timestamp_ns: int, gyro, acc) -> bool:
         item = (int(timestamp_ns), np.asarray(gyro, np.float64), np.asarray(acc, np.float64))
@@ -337,6 +370,16 @@ class ThreadedVio:
                 self.full_state_callback(
                     result.timestamp_ns, result.T_WS, result.speed_and_bias
                 )
+            if "state" in self._csv_writers:
+                w = self._csv_writers["state"]
+                r = np.asarray(result.T_WS.r)
+                q = np.asarray(result.T_WS.q)
+                sb = result.speed_and_bias
+                w.write(
+                    f"{result.timestamp_ns},{r[0]},{r[1]},{r[2]},"
+                    f"{q[0]},{q[1]},{q[2]},{q[3]},"
+                    + ",".join(str(x) for x in sb) + "\n"
+                )
             if self.landmarks_callback:
                 lms = {
                     lm_id: self.estimator.get_landmark(lm_id)
@@ -345,6 +388,14 @@ class ThreadedVio:
                 self.landmarks_callback(result.timestamp_ns, lms)
 
     # ------------------------------------------------------------------
+    def set_state_csv_file(self, path: str) -> None:
+        """ref VioInterface CSV writers (VioInterface.hpp:95-123): stream the
+        optimized states to CSV (ts_ns, p_WS, q_WS(xyzw), v, b_g, b_a)."""
+        f = open(path, "w")
+        f.write("#timestamp_ns,p_x,p_y,p_z,q_x,q_y,q_z,q_w,"
+                "v_x,v_y,v_z,b_gx,b_gy,b_gz,b_ax,b_ay,b_az\n")
+        self._csv_writers["state"] = f
+
     def wait_idle(self, timeout: float = 60.0) -> None:
         """Block until every fed measurement has fully traversed the pipeline
         (consumed, synchronized, matched, optimized)."""
@@ -374,4 +425,7 @@ class ThreadedVio:
         self.imu_synchronizer.shutdown()
         for t in self._threads:
             t.join(timeout=5.0)
+        for f in self._csv_writers.values():
+            f.close()
+        self._csv_writers.clear()
         return Timing.print()

@@ -121,3 +121,25 @@ def test_estimator_first_frame_initialization():
     a_W = kin.quat_rotate(T.q, jnp.asarray([1.0, 0.0, 9.7]))
     np.testing.assert_allclose(np.asarray(a_W[:2]), 0, atol=1e-9)
     assert len(est.pose_priors) == 1 and len(est.sb_priors) == 1
+
+
+def test_checkpoint_resume(tmp_path):
+    """Estimator state round-trips through a checkpoint (SURVEY §5.4)."""
+    rig = make_rig()
+    est = Estimator(rig, ImuParams.euroc())
+    n = 20
+    ts = np.arange(n) / 200.0
+    sid = est.add_states(ts[-1], ts, np.zeros((n, 3)), np.tile([0, 0, 9.81], (n, 1)), True)
+    est.add_landmark(42, np.asarray([1.0, 2.0, 3.0]))
+    est.add_observation(42, sid, 0, np.asarray([100.0, 200.0]))
+    path = str(tmp_path / "ckpt.pkl")
+    est.save_checkpoint(path)
+
+    est2 = Estimator(rig, ImuParams.euroc())
+    est2.load_checkpoint(path)
+    assert est2.num_frames() == 1 and est2.num_landmarks() == 1
+    np.testing.assert_allclose(
+        np.asarray(est2.get_T_WS(sid).q), np.asarray(est.get_T_WS(sid).q)
+    )
+    np.testing.assert_allclose(est2.get_landmark(42), est.get_landmark(42))
+    assert len(est2.observations) == 1 and len(est2.pose_priors) == 1
