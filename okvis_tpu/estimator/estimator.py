@@ -39,7 +39,13 @@ from ..imu.preintegration import ImuParams, init_pose_from_imu, preintegrate, pr
 from ..kinematics.se3 import SE3
 from ..solver import (
     BaProblem,
+    ImuLinks,
+    MargPrior,
+    Observations,
+    PosePriors,
+    SbPriors,
     WindowConfig,
+    WindowStates,
     empty_problem,
     optimize_window,
 )
@@ -369,9 +375,17 @@ class Estimator:
     # problem assembly (host → device)
     # ------------------------------------------------------------------
     def _build_problem(self, pre=None) -> BaProblem:
+        """Assemble the padded device problem from host bookkeeping.
+
+        Numpy-first: every field is built as one host array and converted with
+        a single jnp.asarray (one transfer per field) — no per-element device
+        dispatches on the per-frame path."""
         cfg = self.cfg
-        p = empty_problem(cfg, dtype=self.dtype)
-        S, L = cfg.num_states, cfg.max_landmarks
+        dt = self.dtype
+        S, C, L, O = (
+            cfg.num_states, cfg.num_cameras, cfg.max_landmarks, cfg.max_observations
+        )
+        K = cfg.max_imu_links
 
         state_mask = np.zeros(S, bool)
         sb_mask = np.ones(S, bool)
@@ -382,17 +396,16 @@ class Estimator:
         for lm in self.landmarks.values():
             lm_mask[lm.slot] = True
 
-        states = p.states._replace(
-            r_WS=jnp.asarray(self.r_WS, self.dtype),
-            q_WS=jnp.asarray(self.q_WS, self.dtype),
-            speed_and_bias=jnp.asarray(self.sb, self.dtype),
-            r_SC=jnp.asarray(self.r_SC, self.dtype),
-            q_SC=jnp.asarray(self.q_SC, self.dtype),
-            hp_W=jnp.asarray(self.hp_W, self.dtype),
+        states = WindowStates(
+            r_WS=jnp.asarray(self.r_WS, dt),
+            q_WS=jnp.asarray(self.q_WS, dt),
+            speed_and_bias=jnp.asarray(self.sb, dt),
+            r_SC=jnp.asarray(self.r_SC, dt),
+            q_SC=jnp.asarray(self.q_SC, dt),
+            hp_W=jnp.asarray(self.hp_W, dt),
         )
 
         # observations
-        O = cfg.max_observations
         live_obs = [
             o
             for o in self.observations
@@ -400,103 +413,144 @@ class Estimator:
         ]
         if len(live_obs) > O:
             raise RuntimeError(f"{len(live_obs)} observations exceed capacity {O}")
-        obs = p.obs
-        if live_obs:
-            o_state = np.array([self.states[o.pose_id].slot for o in live_obs], np.int32)
-            o_cam = np.array([o.cam_idx for o in live_obs], np.int32)
-            o_lm = np.array([self.landmarks[o.lm_id].slot for o in live_obs], np.int32)
-            o_kp = np.stack([o.keypoint for o in live_obs])
-            o_w = np.array([8.0 / o.size for o in live_obs])  # sqrt(64/size²)
-            n = len(live_obs)
-            obs = obs._replace(
-                state_idx=obs.state_idx.at[:n].set(jnp.asarray(o_state)),
-                cam_idx=obs.cam_idx.at[:n].set(jnp.asarray(o_cam)),
-                lm_idx=obs.lm_idx.at[:n].set(jnp.asarray(o_lm)),
-                keypoint=obs.keypoint.at[:n].set(jnp.asarray(o_kp, self.dtype)),
-                sqrt_info=obs.sqrt_info.at[:n].set(jnp.asarray(o_w, self.dtype)),
-                mask=obs.mask.at[:n].set(True),
-            )
+        n = len(live_obs)
+        o_state = np.zeros(O, np.int32)
+        o_cam = np.zeros(O, np.int32)
+        o_lm = np.zeros(O, np.int32)
+        o_kp = np.zeros((O, 2))
+        o_w = np.ones(O)
+        o_mask = np.zeros(O, bool)
+        for i, o in enumerate(live_obs):
+            o_state[i] = self.states[o.pose_id].slot
+            o_cam[i] = o.cam_idx
+            o_lm[i] = self.landmarks[o.lm_id].slot
+            o_kp[i] = o.keypoint
+            o_w[i] = 8.0 / o.size  # sqrt(64/size²), implementation/Estimator.hpp:62-66
+            o_mask[i] = True
+        obs = Observations(
+            state_idx=jnp.asarray(o_state),
+            cam_idx=jnp.asarray(o_cam),
+            lm_idx=jnp.asarray(o_lm),
+            keypoint=jnp.asarray(o_kp, dt),
+            sqrt_info=jnp.asarray(o_w, dt),
+            mask=jnp.asarray(o_mask),
+        )
 
         # IMU links: re-preintegrate all at current biases (the reference
         # re-preintegrates when ‖Δb_g‖Δt > 1e-4, ImuError.cpp:549-558 — on
         # TPU the batched scan is cheap enough to always refresh)
-        links = p.imu_links
-        if self.imu_links:
-            K = len(self.imu_links)
-            if K > cfg.max_imu_links:
-                raise RuntimeError("too many IMU links")
+        nl = len(self.imu_links)
+        if nl > K:
+            raise RuntimeError("too many IMU links")
+        idx_a = np.zeros(K, np.int32)
+        idx_b = np.ones(K, np.int32)
+        l_mask = np.zeros(K, bool)
+        if nl:
             if pre is None:
                 pre = self._preintegrate_fn(
                     self.imu_params,
-                    jnp.asarray(np.stack([l.ts for l in self.imu_links]), self.dtype),
-                    jnp.asarray(np.stack([l.gyro for l in self.imu_links]), self.dtype),
-                    jnp.asarray(np.stack([l.acc for l in self.imu_links]), self.dtype),
-                    jnp.asarray(np.array([l.t0 for l in self.imu_links]), self.dtype),
-                    jnp.asarray(np.array([l.t1 for l in self.imu_links]), self.dtype),
+                    jnp.asarray(np.stack([l.ts for l in self.imu_links]), dt),
+                    jnp.asarray(np.stack([l.gyro for l in self.imu_links]), dt),
+                    jnp.asarray(np.stack([l.acc for l in self.imu_links]), dt),
+                    jnp.asarray(np.array([l.t0 for l in self.imu_links]), dt),
+                    jnp.asarray(np.array([l.t1 for l in self.imu_links]), dt),
                     jnp.asarray(
-                        np.stack([self.sb[self.states[l.id_a].slot] for l in self.imu_links]),
-                        self.dtype,
+                        np.stack(
+                            [self.sb[self.states[l.id_a].slot] for l in self.imu_links]
+                        ),
+                        dt,
                     ),
                 )
-            links = links._replace(
-                pre=jax.tree_util.tree_map(
-                    lambda full, new: full.at[:K].set(new[:K]), links.pre, pre
-                ),
-                idx_a=links.idx_a.at[:K].set(
-                    jnp.asarray([self.states[l.id_a].slot for l in self.imu_links], jnp.int32)
-                ),
-                idx_b=links.idx_b.at[:K].set(
-                    jnp.asarray([self.states[l.id_b].slot for l in self.imu_links], jnp.int32)
-                ),
-                mask=links.mask.at[:K].set(True),
-            )
+            for i, l in enumerate(self.imu_links):
+                idx_a[i] = self.states[l.id_a].slot
+                idx_b[i] = self.states[l.id_b].slot
+                l_mask[i] = True
+            if nl == K:
+                pre_full = pre
+            else:
+                pre_full = jax.tree_util.tree_map(
+                    lambda full, new: jnp.concatenate([new[:nl], full[nl:]], axis=0),
+                    self._empty_pre_template(), pre,
+                )
+        else:
+            pre_full = self._empty_pre_template()
+        links = ImuLinks(
+            pre=pre_full,
+            idx_a=jnp.asarray(idx_a),
+            idx_b=jnp.asarray(idx_b),
+            mask=jnp.asarray(l_mask),
+        )
 
         # priors
-        pp = p.pose_priors
-        for i, pr in enumerate(self.pose_priors[: cfg.max_pose_priors]):
+        Kp, Ks = cfg.max_pose_priors, cfg.max_sb_priors
+        pp_idx = np.zeros(Kp, np.int32)
+        pp_r = np.zeros((Kp, 3))
+        pp_q = np.tile([0.0, 0, 0, 1], (Kp, 1))
+        pp_W = np.zeros((Kp, 6, 6))
+        pp_m = np.zeros(Kp, bool)
+        for i, pr in enumerate(self.pose_priors[:Kp]):
             if pr["pose_id"] not in self.states:
                 continue
-            pp = pp._replace(
-                state_idx=pp.state_idx.at[i].set(self.states[pr["pose_id"]].slot),
-                r_meas=pp.r_meas.at[i].set(jnp.asarray(pr["r"], self.dtype)),
-                q_meas=pp.q_meas.at[i].set(jnp.asarray(pr["q"], self.dtype)),
-                sqrt_info=pp.sqrt_info.at[i].set(jnp.asarray(pr["sqrt_info"], self.dtype)),
-                mask=pp.mask.at[i].set(True),
-            )
-        sp = p.sb_priors
-        for i, pr in enumerate(self.sb_priors[: cfg.max_sb_priors]):
+            pp_idx[i] = self.states[pr["pose_id"]].slot
+            pp_r[i] = pr["r"]
+            pp_q[i] = pr["q"]
+            pp_W[i] = pr["sqrt_info"]
+            pp_m[i] = True
+        pose_priors = PosePriors(
+            state_idx=jnp.asarray(pp_idx),
+            r_meas=jnp.asarray(pp_r, dt),
+            q_meas=jnp.asarray(pp_q, dt),
+            sqrt_info=jnp.asarray(pp_W, dt),
+            mask=jnp.asarray(pp_m),
+        )
+        sp_idx = np.zeros(Ks, np.int32)
+        sp_sb = np.zeros((Ks, 9))
+        sp_W = np.zeros((Ks, 9, 9))
+        sp_m = np.zeros(Ks, bool)
+        for i, pr in enumerate(self.sb_priors[:Ks]):
             if pr["pose_id"] not in self.states:
                 continue
-            sp = sp._replace(
-                state_idx=sp.state_idx.at[i].set(self.states[pr["pose_id"]].slot),
-                sb_meas=sp.sb_meas.at[i].set(jnp.asarray(pr["sb"], self.dtype)),
-                sqrt_info=sp.sqrt_info.at[i].set(jnp.asarray(pr["sqrt_info"], self.dtype)),
-                mask=sp.mask.at[i].set(True),
-            )
+            sp_idx[i] = self.states[pr["pose_id"]].slot
+            sp_sb[i] = pr["sb"]
+            sp_W[i] = pr["sqrt_info"]
+            sp_m[i] = True
+        sb_priors = SbPriors(
+            state_idx=jnp.asarray(sp_idx),
+            sb_meas=jnp.asarray(sp_sb, dt),
+            sqrt_info=jnp.asarray(sp_W, dt),
+            mask=jnp.asarray(sp_m),
+        )
 
-        marg = p.marg._replace(
-            H=jnp.asarray(self.marg_H, self.dtype),
-            b0=jnp.asarray(self.marg_b0, self.dtype),
-            c0=jnp.asarray(self.marg_c0, self.dtype),
-            r_WS_lin=jnp.asarray(self.fej_r_WS, self.dtype),
-            q_WS_lin=jnp.asarray(self.fej_q_WS, self.dtype),
-            sb_lin=jnp.asarray(self.fej_sb, self.dtype),
-            r_SC_lin=jnp.asarray(self.r_SC, self.dtype),
-            q_SC_lin=jnp.asarray(self.q_SC, self.dtype),
+        marg = MargPrior(
+            H=jnp.asarray(self.marg_H, dt),
+            b0=jnp.asarray(self.marg_b0, dt),
+            c0=jnp.asarray(self.marg_c0, dt),
+            r_WS_lin=jnp.asarray(self.fej_r_WS, dt),
+            q_WS_lin=jnp.asarray(self.fej_q_WS, dt),
+            sb_lin=jnp.asarray(self.fej_sb, dt),
+            r_SC_lin=jnp.asarray(self.r_SC, dt),
+            q_SC_lin=jnp.asarray(self.q_SC, dt),
             valid=jnp.asarray(self.marg_valid),
         )
 
-        return p._replace(
+        return BaProblem(
             states=states,
             state_mask=jnp.asarray(state_mask),
             sb_mask=jnp.asarray(sb_mask),
             lm_mask=jnp.asarray(lm_mask),
             obs=obs,
             imu_links=links,
-            pose_priors=pp,
-            sb_priors=sp,
+            pose_priors=pose_priors,
+            sb_priors=sb_priors,
             marg=marg,
         )
+
+    def _empty_pre_template(self):
+        if "pre_tmpl" not in self._jit_cache:
+            self._jit_cache["pre_tmpl"] = empty_problem(
+                self.cfg, dtype=self.dtype
+            ).imu_links.pre
+        return self._jit_cache["pre_tmpl"]
 
     # ------------------------------------------------------------------
     # optimize (ref Estimator::optimize, Estimator.cpp:842-906)
