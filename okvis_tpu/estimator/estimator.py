@@ -345,9 +345,15 @@ class Estimator:
     def add_observation(
         self, lm_id: int, pose_id: int, cam_idx: int, keypoint: np.ndarray,
         keypoint_idx: int = 0, size: float = 1.0,
-    ) -> None:
+    ) -> bool:
         """information = 64/size² · I₂ with Cauchy loss
-        (implementation/Estimator.hpp:62-77)."""
+        (implementation/Estimator.hpp:62-77).
+
+        Returns False (input shedding) when the observation table is at
+        capacity — mirrors the reference's drop-on-overload policies
+        (SURVEY.md §5.3)."""
+        if len(self.observations) >= self.cfg.max_observations:
+            return False
         self.observations.append(
             Observation(
                 lm_id=lm_id,
@@ -358,6 +364,7 @@ class Estimator:
                 size=float(size),
             )
         )
+        return True
 
     def remove_observation(self, lm_id: int, pose_id: int, cam_idx: int, keypoint_idx: int) -> bool:
         for i, o in enumerate(self.observations):

@@ -22,11 +22,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _hamming_kernel(a_ref, b_ref, out_ref):
-    a = a_ref[:]  # (TA, W) uint32
-    b = b_ref[:]  # (TB, W) uint32
-    x = a[:, None, :] ^ b[None, :, :]  # (TA, TB, W)
-    pc = jax.lax.population_count(x)
-    out_ref[:] = jnp.sum(pc.astype(jnp.int32), axis=-1)
+    # a: (TA, W) uint32, b: (TB, W) uint32. Accumulate one (TA, TB) tile per
+    # descriptor word so the vector registers stay in the natural
+    # (sublane=TA, lane=TB) layout — a (TA, TB, W) broadcast XOR would put the
+    # 16 words in the 128-wide lane dimension and waste 7/8 of the VPU.
+    a = a_ref[:]
+    b = b_ref[:]
+    W = a.shape[1]
+    acc = jnp.zeros((a.shape[0], b.shape[0]), jnp.int32)
+    for w in range(W):  # static unroll (W=16)
+        x = a[:, w][:, None] ^ b[:, w][None, :]  # (TA, TB)
+        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
+    out_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("tile_a", "tile_b", "interpret"))

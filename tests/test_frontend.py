@@ -234,3 +234,13 @@ def test_need_new_keyframe_logic(rng):
     assert need_new_keyframe([pts], [all_matched], num_frames=1)
     # not initialized -> never
     assert not need_new_keyframe([pts], [np.zeros(200, bool)], is_initialized=False)
+
+
+def test_hamming_pallas_interpret(rng):
+    """Pallas XOR+popcount kernel (interpret mode) matches the XLA path."""
+    from okvis_tpu.ops.hamming_pallas import hamming_matrix_pallas
+
+    a = jnp.asarray(rng.integers(0, 2**32, (128, 16), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2**32, (256, 16), dtype=np.uint32))
+    d1 = hamming_matrix_pallas(a, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(hamming_matrix_xla(a, b)))
