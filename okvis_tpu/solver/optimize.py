@@ -152,17 +152,125 @@ def apply_update(
     )
 
 
+def _system_quadratic(eqs: NormalEqs, delta_d, delta_l, lm_mask):
+    """bᵀp and pᵀHp for the FULL (dense+landmark) system — used by dogleg's
+    predicted-decrease model."""
+    lm_f = lm_mask.astype(delta_d.dtype)[:, None]
+    dl = delta_l * lm_f
+    btp = jnp.dot(eqs.b_d, delta_d) + jnp.sum(eqs.b_l * dl)
+    Hp_d = eqs.H_dd @ delta_d + jnp.einsum("ldk,lk->d", eqs.W, dl)
+    pHp = (
+        jnp.dot(delta_d, Hp_d)
+        + jnp.einsum("lk,ldk,d->", dl, eqs.W, delta_d)
+        + jnp.einsum("la,lab,lb->", dl, eqs.H_ll, dl)
+    )
+    return btp, pHp
+
+
+def optimize_window_dogleg(
+    cfg: WindowConfig,
+    imu_params: ImuParams,
+    intrinsics: List[jnp.ndarray],
+    problem: BaProblem,
+) -> Tuple[WindowStates, SolveDiagnostics]:
+    """Powell dogleg trust-region loop (the reference's Ceres DOGLEG mode,
+    Estimator.cpp:854-868): blend the Gauss-Newton step with the Cauchy
+    (steepest-descent) step inside a trust radius; ρ-based radius update.
+    Same static-shape scan structure as the LM loop."""
+    states0 = problem.states
+    dtype = states0.r_WS.dtype
+    cost0 = evaluate(cfg, imu_params, intrinsics, problem, states0).cost
+    radius0 = jnp.asarray(cfg.init_radius, dtype)
+
+    def step(carry, _):
+        states, radius, cost = carry
+        eqs = evaluate(cfg, imu_params, intrinsics, problem, states)
+        zero_lam = jnp.asarray(1e-10, dtype)
+        gn_d, gn_l = solve_normal_eqs(
+            cfg, eqs, problem.state_mask, problem.lm_mask, zero_lam, problem.sb_mask
+        )
+        # Cauchy point along the gradient-descent direction b (masked to the
+        # free dims, matching the GN solve's masking)
+        mf = dense_dim_mask(cfg, problem.state_mask, problem.sb_mask).astype(dtype)
+        b_d = eqs.b_d * mf
+        b_l = eqs.b_l * problem.lm_mask.astype(dtype)[:, None]
+        b_norm2 = jnp.dot(b_d, b_d) + jnp.sum(b_l * b_l)
+        _, bHb = _system_quadratic(eqs, b_d, b_l, problem.lm_mask)
+        alpha = b_norm2 / jnp.maximum(bHb, 1e-30)
+        sd_d, sd_l = alpha * b_d, alpha * b_l
+
+        gn_norm = jnp.sqrt(
+            jnp.dot(gn_d, gn_d) + jnp.sum(gn_l * gn_l) + 1e-300
+        )
+        sd_norm = jnp.sqrt(
+            jnp.dot(sd_d, sd_d) + jnp.sum(sd_l * sd_l) + 1e-300
+        )
+
+        # dogleg blend coefficient beta along (gn - sd), ||sd + beta d|| = radius
+        dd_d, dd_l = gn_d - sd_d, gn_l - sd_l
+        a_ = jnp.dot(dd_d, dd_d) + jnp.sum(dd_l * dd_l)
+        b_ = 2.0 * (jnp.dot(sd_d, dd_d) + jnp.sum(sd_l * dd_l))
+        c_ = sd_norm * sd_norm - radius * radius
+        disc = jnp.sqrt(jnp.maximum(b_ * b_ - 4 * a_ * c_, 0.0))
+        beta = jnp.clip((-b_ + disc) / jnp.maximum(2 * a_, 1e-30), 0.0, 1.0)
+
+        use_gn = gn_norm <= radius
+        sd_over = sd_norm >= radius
+        scale_sd = radius / sd_norm
+        p_d = jnp.where(
+            use_gn, gn_d,
+            jnp.where(sd_over, scale_sd * sd_d, sd_d + beta * dd_d),
+        )
+        p_l = jnp.where(
+            use_gn, gn_l,
+            jnp.where(sd_over, scale_sd * sd_l, sd_l + beta * dd_l),
+        )
+
+        cand = apply_update(
+            cfg, states, p_d, p_l, problem.state_mask, problem.lm_mask
+        )
+        new_cost = evaluate(cfg, imu_params, intrinsics, problem, cand).cost
+        btp, pHp = _system_quadratic(eqs, p_d, p_l, problem.lm_mask)
+        predicted = btp - 0.5 * pHp
+        rho = (cost - new_cost) / jnp.maximum(predicted, 1e-30)
+        accept = (new_cost < cost) & (predicted > 0)
+        states = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), cand, states
+        )
+        cost = jnp.where(accept, new_cost, cost)
+        p_norm = jnp.sqrt(jnp.dot(p_d, p_d) + jnp.sum(p_l * p_l) + 1e-300)
+        radius = jnp.where(
+            rho > 0.75,
+            jnp.maximum(radius, 3.0 * p_norm),
+            jnp.where(rho < 0.25, 0.25 * radius, radius),
+        )
+        radius = jnp.where(accept, radius, 0.25 * radius)
+        radius = jnp.clip(radius, 1e-8, 1e12)
+        return (states, radius, cost), (cost, accept)
+
+    (states, radius, cost), (hist, acc) = jax.lax.scan(
+        step, (states0, radius0, cost0), None, length=cfg.max_iterations
+    )
+    return states, SolveDiagnostics(
+        cost_history=hist, accepted=acc, final_cost=cost, final_lambda=radius
+    )
+
+
 def optimize_window(
     cfg: WindowConfig,
     imu_params: ImuParams,
     intrinsics: List[jnp.ndarray],
     problem: BaProblem,
 ) -> Tuple[WindowStates, SolveDiagnostics]:
-    """LM loop over the whole window (jit this with cfg static).
+    """Trust-region loop over the whole window (jit this with cfg static).
 
-    Fixed cfg.max_iterations iterations; rejected steps raise λ and keep the
-    iterate (masked update), so the program shape is static.
+    cfg.algorithm selects LM (default) or dogleg (reference DOGLEG parity).
+    Fixed cfg.max_iterations iterations; rejected steps adapt the trust
+    parameter and keep the iterate (masked update), so the program shape is
+    static.
     """
+    if cfg.algorithm == "dogleg":
+        return optimize_window_dogleg(cfg, imu_params, intrinsics, problem)
     states0 = problem.states
     cost0 = evaluate(cfg, imu_params, intrinsics, problem, states0).cost
     lam0 = jnp.asarray(cfg.init_lambda, dtype=states0.r_WS.dtype)

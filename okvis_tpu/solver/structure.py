@@ -53,6 +53,8 @@ class WindowConfig:
     min_iterations: int = 3
     cauchy_scale: float = 1.0  # reference uses CauchyLoss(1)
     init_lambda: float = 1e-4
+    algorithm: str = "lm"  # 'lm' | 'dogleg' (reference runs Ceres DOGLEG)
+    init_radius: float = 1e4  # dogleg initial trust-region radius
 
     @property
     def dense_dim(self) -> int:
