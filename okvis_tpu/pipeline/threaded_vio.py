@@ -104,11 +104,18 @@ class ThreadedVio:
         # session epoch: estimator times are seconds relative to the first
         # measurement so f32 device arithmetic keeps sub-ms resolution
         self._epoch_ns: Optional[int] = None
+        # incremental propagation state for IMU-rate publishing
+        self._prop_state = None  # (t_ns, T_WS, sb)
+        self._reprop_needed = False
 
         # callbacks (VioInterface.hpp:70-87)
         self.state_callback: Optional[Callable] = None
         self.full_state_callback: Optional[Callable] = None
         self.landmarks_callback: Optional[Callable] = None
+        # IMU-rate propagated-state publishing (ref imuConsumerLoop,
+        # ThreadedKFVio.cpp:542-601): called (t_ns, T_WS, speed_and_bias)
+        # for every IMU sample once an optimized state exists
+        self.propagated_state_callback: Optional[Callable] = None
 
         self.trajectory: List[StateEstimate] = []  # every optimized state
         self._position_measurements: List[tuple] = []  # buffered, unused (ref parity)
@@ -201,6 +208,61 @@ class ThreadedVio:
             self._imu_gyro.append(gyro)
             self._imu_acc.append(acc)
         self.imu_synchronizer.got_imu_data(ts)
+        if self.propagated_state_callback is not None:
+            self._publish_propagated(ts)
+
+    def _publish_propagated(self, t_ns: int) -> None:
+        """Incremental IMU-rate state propagation + publish (ref
+        imuConsumerLoop, ThreadedKFVio.cpp:542-601): normally one short
+        propagation step from the previous propagated state; whenever a new
+        optimized state lands (repropagationNeeded_), restart from it and
+        replay the buffered IMU in window-sized chunks."""
+        base = self._last_optimized
+        if base is None:
+            return
+        if self._reprop_needed or self._prop_state is None:
+            self._prop_state = (
+                base.timestamp_ns,
+                base.T_WS,
+                np.asarray(base.speed_and_bias),
+            )
+            self._reprop_needed = False
+        t0_ns, T, sb = self._prop_state
+        if t_ns <= t0_ns:
+            return
+        P = self.estimator.cfg.imu_samples
+        epoch = self._epoch_ns or 0
+        dtp = self.estimator.dtype
+        import jax.numpy as _jnp
+
+        # replay in chunks the padded preintegration window can hold
+        while t0_ns < t_ns:
+            imu_ts, gyro, acc = self._get_imu_slice(t0_ns, t_ns)
+            if len(imu_ts) < 2:
+                break
+            if len(imu_ts) > P:
+                imu_ts, gyro, acc = imu_ts[:P], gyro[:P], acc[:P]
+                t_chunk = int(imu_ts[-2])  # leave overlap for the next chunk
+            else:
+                t_chunk = t_ns
+            if t_chunk <= t0_ns:
+                break
+            ts_p, gy_p, ac_p = self.estimator._pad_imu(
+                (imu_ts - epoch) / NS, gyro, acc, P
+            )
+            T, sb_j = self.estimator._propagate_fn(
+                T,
+                _jnp.asarray(sb, dtp),
+                _jnp.asarray(ts_p, dtp),
+                _jnp.asarray(gy_p, dtp),
+                _jnp.asarray(ac_p, dtp),
+                _jnp.asarray((t0_ns - epoch) / NS, dtp),
+                _jnp.asarray((t_chunk - epoch) / NS, dtp),
+            )
+            sb = np.asarray(sb_j)
+            t0_ns = t_chunk
+        self._prop_state = (t0_ns, T, sb)
+        self.propagated_state_callback(t_ns, T, sb)
 
     def _get_imu_slice(self, t0_ns: int, t1_ns: int):
         """IMU measurements covering [t0-0.02s, t1+0.02s]
@@ -354,6 +416,7 @@ class ThreadedVio:
             )
             with self._state_lock:
                 self._last_optimized = result
+                self._reprop_needed = True  # repropagationNeeded_ (ref :774-794)
                 self.trajectory.append(result)
             self.result_queue.push_nonblocking_dropping_if_full(result, 10)
 

@@ -176,3 +176,46 @@ def test_threaded_vio_synthetic_tracking():
     assert ate < 0.05, f"ATE {ate:.4f} m too large\n{table}"
     # timing table exists for the pipeline stages (SURVEY §5.1)
     assert "3.1 optimization" in table
+
+
+@pytest.mark.slow
+def test_imu_rate_propagated_state_publishing():
+    """IMU-rate state publishing (ref imuConsumerLoop real-time propagation):
+    once an optimized state exists, every IMU sample yields a propagated
+    state close to ground truth."""
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig, make_landmarks
+
+    params = _make_params()
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    rig.compute_overlaps()
+    traj = simulate_trajectory(duration=1.2, seed=51, motion_scale=0.4)
+    lms = make_landmarks(traj, 200, seed=52, radius=(3.0, 9.0))
+
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
+    stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
+    vio.frontend.detect_and_describe = stub
+    published = []
+    vio.propagated_state_callback = lambda t, T, sb: published.append((t, np.asarray(T.r)))
+
+    img = np.zeros((480, 752), np.float32)
+    imu_i = 0
+    for fi in range(10):
+        t_ns = int(fi * 0.1 * NS)
+        idx = int(round(fi * 0.1 * 200))
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            vio.add_imu_measurement(int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i])
+            imu_i += 1
+        stub.T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        vio.add_image(t_ns, 0, img)
+        vio.add_image(t_ns, 1, img)
+        vio.wait_idle(timeout=120)
+    vio.shutdown()
+
+    # IMU-rate output: ~20 samples per frame interval after the first state
+    assert len(published) > 100, f"only {len(published)} propagated states"
+    errs = []
+    for t_ns, r in published[-60:]:
+        idx = int(round(t_ns / NS * 200))
+        errs.append(np.linalg.norm(r - traj.r[idx]))
+    assert np.median(errs) < 0.05, f"propagated-state error {np.median(errs):.4f}"
