@@ -160,13 +160,25 @@ class Estimator:
     # ------------------------------------------------------------------
     # jitted device programs (built lazily, one per config)
     # ------------------------------------------------------------------
-    @property
-    def _optimize_fn(self):
-        if "opt" not in self._jit_cache:
-            self._jit_cache["opt"] = jax.jit(
-                functools.partial(optimize_window, self.cfg, self.imu_params, self.intrinsics)
+    def _optimize_fn(self, max_iterations: Optional[int] = None):
+        """Jitted optimize step; one compiled variant per iteration count.
+
+        The reference aborts Ceres mid-solve on a wall-clock limit
+        (CeresIterationCallback.hpp:44-80). Compiled XLA programs cannot be
+        aborted, so the time-limit knob maps to selecting a shorter-iteration
+        variant (min/max from the config) — see ThreadedVio's adaptive
+        selection."""
+        key = ("opt", max_iterations)
+        if key not in self._jit_cache:
+            cfg = (
+                self.cfg
+                if max_iterations is None
+                else dataclasses.replace(self.cfg, max_iterations=max_iterations)
             )
-        return self._jit_cache["opt"]
+            self._jit_cache[key] = jax.jit(
+                functools.partial(optimize_window, cfg, self.imu_params, self.intrinsics)
+            )
+        return self._jit_cache[key]
 
     @property
     def _preintegrate_fn(self):
@@ -562,9 +574,9 @@ class Estimator:
     # ------------------------------------------------------------------
     # optimize (ref Estimator::optimize, Estimator.cpp:842-906)
     # ------------------------------------------------------------------
-    def optimize(self, verbose: bool = False):
+    def optimize(self, max_iterations: Optional[int] = None, verbose: bool = False):
         problem = self._build_problem()
-        states, diag = self._optimize_fn(problem)
+        states, diag = self._optimize_fn(max_iterations)(problem)
         # pull back results
         self.r_WS = np.array(states.r_WS)
         self.q_WS = np.array(states.q_WS)

@@ -107,6 +107,7 @@ class ThreadedVio:
         # incremental propagation state for IMU-rate publishing
         self._prop_state = None  # (t_ns, T_WS, sb)
         self._reprop_needed = False
+        self._last_opt_duration: Optional[float] = None
 
         # callbacks (VioInterface.hpp:70-87)
         self.state_callback: Optional[Callable] = None
@@ -403,7 +404,22 @@ class ThreadedVio:
                 )
             est.set_keyframe(sid, as_keyframe)
             with Timer("3.1 optimization"):
-                est.optimize()
+                # real-time knob (ref setOptimizationTimeLimit +
+                # CeresIterationCallback): if the last optimize exceeded the
+                # budget, fall back to the min-iteration compiled variant.
+                # Blocking mode = unlimited time (ThreadedKFVio.cpp:312-319).
+                import time as _time
+
+                iters = None
+                if (
+                    not self.blocking
+                    and self._last_opt_duration is not None
+                    and self._last_opt_duration > self.params.optimization.time_limit
+                ):
+                    iters = self.params.optimization.min_iterations
+                _t0 = _time.perf_counter()
+                est.optimize(max_iterations=iters)
+                self._last_opt_duration = _time.perf_counter() - _t0
             with Timer("3.2 marginalization"):
                 removed = est.apply_marginalization_strategy()
             self._trim_imu(epoch0 + int(est._states_by_time()[0].timestamp * NS))
