@@ -460,10 +460,16 @@ class ThreadedVio:
                     + ",".join(str(x) for x in sb) + "\n"
                 )
             if self.landmarks_callback:
-                lms = {
-                    lm_id: self.estimator.get_landmark(lm_id)
-                    for lm_id in list(self.estimator.landmarks.keys())
-                }
+                # publish only well-constrained landmarks
+                # (ref landmarkQualityThreshold, ThreadedKFVio publishing)
+                thr = self.params.publishing.landmark_quality_threshold
+                lms = {}
+                for lm_id, rec in list(self.estimator.landmarks.items()):
+                    if rec.quality >= thr:
+                        try:
+                            lms[lm_id] = self.estimator.get_landmark(lm_id)
+                        except KeyError:
+                            pass
                 self.landmarks_callback(result.timestamp_ns, lms)
 
     # ------------------------------------------------------------------
