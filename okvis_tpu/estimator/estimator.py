@@ -764,7 +764,11 @@ class Estimator:
 
         if redo_fixation and self.states:
             oldest = self._states_by_time()[0]
-            sqrt_info = np.diag([1e7, 1e7, 1e7, 0.0, 0.0, 1e7])
+            # reference uses information 1e14 (Estimator.cpp:765-770) — in
+            # f32 that destroys the Cholesky's conditioning, so use 1e8
+            # (still ≫ any data term; pure gauge fixing)
+            w = 1e7 if self.dtype == jnp.float64 else 1e4
+            sqrt_info = np.diag([w, w, w, 0.0, 0.0, w])
             self.pose_priors.append(
                 dict(
                     pose_id=oldest.id,

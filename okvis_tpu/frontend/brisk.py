@@ -146,3 +146,35 @@ def detect_and_describe(
     kps = detect_keypoints(img, threshold=threshold, max_keypoints=max_keypoints)
     desc = describe_keypoints(img, kps, extraction_angle)
     return kps, desc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "max_keypoints", "nms_radius", "border")
+)
+def detect_and_describe_batch(
+    images: jnp.ndarray,  # (C, H, W)
+    extraction_angles: jnp.ndarray,  # (C,)
+    threshold: float = 30.0,
+    max_keypoints: int = 400,
+    nms_radius: int = 4,
+    border: int = 20,
+):
+    """Detection + description for a whole multiframe in ONE program:
+    vmapped over the camera axis (replaces the reference's thread-per-camera
+    detection, ThreadedKFVio.cpp:130-132, with a single batched launch).
+
+    Returns (Keypoints batched (C, K, ...), descriptors (C, K, 16))."""
+    from .detection import detect_keypoints
+
+    def one(img, angle):
+        kps = detect_keypoints(
+            img,
+            threshold=threshold,
+            max_keypoints=max_keypoints,
+            nms_radius=nms_radius,
+            border=border,
+        )
+        desc = describe_keypoints(img, kps, angle)
+        return kps, desc
+
+    return jax.vmap(one)(images, extraction_angles)

@@ -93,6 +93,41 @@ class Frontend:
             image=image,
         )
 
+    def detect_and_describe_multi(
+        self, images, T_WS: Optional[kin.SE3] = None
+    ) -> List[FrameData]:
+        """All cameras of a multiframe in one jitted launch (gravity-aligned
+        per-camera extraction angles)."""
+        from .brisk import detect_and_describe_batch
+
+        C = len(images)
+        angles = np.zeros(C, np.float32)
+        if T_WS is not None:
+            for c in range(C):
+                T_WC = kin.compose(T_WS, kin.SE3(r=self.rig.T_SC.r[c], q=self.rig.T_SC.q[c]))
+                g_C = kin.quat_rotate(
+                    kin.quat_conjugate(T_WC.q), jnp.asarray([0.0, 0.0, -1.0])
+                )
+                angles[c] = float(gravity_extraction_angle(g_C))
+        stack = jnp.stack([jnp.asarray(im, jnp.float32) for im in images])
+        kps_b, desc_b = detect_and_describe_batch(
+            stack,
+            jnp.asarray(angles),
+            threshold=self.cfg.detection_threshold,
+            max_keypoints=self.cfg.max_keypoints,
+        )
+        out = []
+        for c in range(C):
+            out.append(
+                FrameData(
+                    keypoints=jax.tree_util.tree_map(lambda x: x[c], kps_b),
+                    descriptors=desc_b[c],
+                    landmark_ids=np.zeros(self.cfg.max_keypoints, np.int64),
+                    image=stack[c],
+                )
+            )
+        return out
+
     # ------------------------------------------------------------------
     def propagation(self, imu_params, T_WS, sb, ts, gyro, acc, t0, t1):
         """Real-time state prediction (ref Frontend::propagation)."""

@@ -245,11 +245,17 @@ def preintegrate(
     final, _ = jax.lax.scan(step, init, (dt_all, w0_all, w1_all, a0_all, a1_all))
 
     P = 0.5 * (final.P_delta + final.P_delta.T)
-    information = jnp.linalg.inv(P)
-    information = 0.5 * (information + information.T)
-    # sqrt info = L^T from information = L L^T (ImuError.cpp:279-283)
-    L = jnp.linalg.cholesky(information)
-    sqrt_info = L.T
+    # Invert via the correlation matrix: diag(P) spans ~1e-12 (biases) to
+    # ~1e-6 (position) so a raw inverse loses everything in f32; the diagonal
+    # scaling makes the factorization dtype-robust (the reference does the
+    # raw inverse in f64, ImuError.cpp:274-283).
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(P), 1e-24, None))
+    Pc = P / (d[:, None] * d[None, :])
+    info_c = jnp.linalg.inv(Pc + 1e-9 * jnp.eye(15, dtype=dtype))
+    info_c = 0.5 * (info_c + info_c.T)
+    Lc = jnp.linalg.cholesky(info_c)
+    # sqrt_info = Lcᵀ D⁻¹ satisfies Sᵀ S = D⁻¹ info_c D⁻¹ = P⁻¹
+    sqrt_info = Lc.T / d[None, :]
 
     return PreintegratedImu(
         delta_q=final.delta_q,

@@ -342,18 +342,11 @@ class ThreadedVio:
             ):
                 continue
             # predicted pose for gravity-aligned extraction
-            T_WC = None
             last = self._last_optimized
-            if last is not None:
-                T_WC = kin.compose(last.T_WS, self.rig.camera_T_SC(cam_idx))
-            frames = []
+            T_WS_pred = last.T_WS if last is not None else None
             with Timer("1.x detectAndDescribe"):
-                for c in sorted(group["images"].keys()):
-                    frames.append(
-                        self.frontend.detect_and_describe(
-                            c, jnp.asarray(group["images"][c], jnp.float32), T_WC
-                        )
-                    )
+                images = [group["images"][c] for c in sorted(group["images"].keys())]
+                frames = self.frontend.detect_and_describe_multi(images, T_WS_pred)
             mf = MultiFrame(
                 id=IdProvider.new_id(),
                 timestamp=group["timestamp_ns"] / NS,

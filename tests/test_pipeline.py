@@ -74,6 +74,14 @@ def test_frame_synchronizer_groups_stereo():
     assert fs2.add_frame(50_000_000, 1, "y") is None
 
 
+def install_stub(vio, stub):
+    """Route both the single- and multi-camera detection paths to the stub."""
+    vio.frontend.detect_and_describe = stub
+    vio.frontend.detect_and_describe_multi = lambda images, T_WS=None: [
+        stub(c, img, None) for c, img in enumerate(images)
+    ]
+
+
 # ---------------------------------------------------------------- full loop
 def _make_params():
     p = read_config("/root/reference/config/config_fpga_p2_euroc.yaml")
@@ -143,7 +151,7 @@ def test_threaded_vio_synthetic_tracking():
 
     vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
     stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
-    vio.frontend.detect_and_describe = stub
+    install_stub(vio, stub)
 
     frame_dt = 0.1
     imu_rate = 200
@@ -194,7 +202,7 @@ def test_imu_rate_propagated_state_publishing():
 
     vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
     stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
-    vio.frontend.detect_and_describe = stub
+    install_stub(vio, stub)
     published = []
     vio.propagated_state_callback = lambda t, T, sb: published.append((t, np.asarray(T.r)))
 
