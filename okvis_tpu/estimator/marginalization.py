@@ -104,4 +104,24 @@ def marginalize_system(
     c0_new = c0 - b_m @ H_mm_pinv @ b_m
 
     H_new = 0.5 * (H_new + H_new.T)
-    return MargResult(H=H_new, b0=b_new, c0=jnp.maximum(c0_new, 0.0))
+
+    # --- PSD sanitization ---
+    # In f32 the Schur complement can come out slightly indefinite and b can
+    # leave range(H); the prior cost ½(c0 - 2bᵀΔχ + ΔχᵀHΔχ) then has
+    # unbounded-below directions and the trust-region loop runs away (the
+    # reference works in f64 where this never bites; its eigendecomposed
+    # J/e0 form is PSD by construction — updateErrorComputation,
+    # MarginalizationError.cpp:806-846). Project H to PSD, b onto range(H),
+    # and make c0 consistent (c0 ≥ bᵀH⁺b) so the prior is exactly
+    # ½|e0 + JΔχ|² for some J, e0.
+    w, V = jnp.linalg.eigh(H_new)
+    tol = jnp.finfo(dtype).eps * D * jnp.maximum(jnp.max(w), 0.0)
+    w_pos = jnp.where(w > tol, w, 0.0)
+    H_psd = jnp.einsum("ik,k,jk->ij", V, w_pos, V)
+    coeff = V.T @ b_new
+    keep = w > tol
+    coeff_in = jnp.where(keep, coeff, 0.0)
+    b_psd = V @ coeff_in
+    quad = jnp.sum(jnp.where(keep, coeff_in * coeff_in / jnp.where(keep, w_pos, 1.0), 0.0))
+    c0_psd = jnp.maximum(c0_new, quad)
+    return MargResult(H=H_psd, b0=b_psd, c0=c0_psd)

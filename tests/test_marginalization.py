@@ -83,21 +83,34 @@ def test_dense_marginalization_exact_on_linear_system(rng):
 
 
 def test_landmark_then_dense_marginalization(rng):
-    """Full pipeline with landmark blocks: joint minimum must be preserved."""
+    """Full pipeline with landmark blocks: joint minimum must be preserved.
+
+    The joint system is built as a genuine least-squares JᵀJ with the VIO
+    sparsity: every factor row touches the dense block and at most ONE
+    landmark — so the landmark part is block-diagonal AND the system is PSD
+    (zeroing cross terms of a dense JᵀJ would be indefinite)."""
     cfg = _tiny_cfg()
     D, L = cfg.dense_dim, cfg.max_landmarks
-    # build a consistent joint PSD system over (D + 3L) dims
     n_tot = D + 3 * L
-    J = rng.normal(size=(n_tot + 10, n_tot))
+    rows = []
+    for l in range(L):
+        for _ in range(12):
+            row = np.zeros(n_tot)
+            row[:D] = rng.normal(size=D) * 0.3
+            row[D + 3 * l : D + 3 * l + 3] = rng.normal(size=3)
+            rows.append(row)
+    for _ in range(D + 5):  # dense-only factors (IMU/prior-like)
+        row = np.zeros(n_tot)
+        row[:D] = rng.normal(size=D)
+        rows.append(row)
+    J = np.stack(rows)
     H_joint = J.T @ J
-    b_joint = rng.normal(size=n_tot)
+    b_joint = J.T @ rng.normal(size=len(rows))  # b in range(Jᵀ) like a real residual
     H_dd = jnp.asarray(H_joint[:D, :D])
     b_d = jnp.asarray(b_joint[:D])
-    H_lblock = H_joint[D:, D:]
-    # zero the landmark-landmark cross terms (landmarks never couple directly)
     H_ll = np.zeros((L, 3, 3))
     for l in range(L):
-        H_ll[l] = H_lblock[3 * l : 3 * l + 3, 3 * l : 3 * l + 3] + 1e-3 * np.eye(3)
+        H_ll[l] = H_joint[D + 3 * l : D + 3 * l + 3, D + 3 * l : D + 3 * l + 3]
     W = np.stack([H_joint[:D, D + 3 * l : D + 3 * l + 3] for l in range(L)])
     b_l = b_joint[D:].reshape(L, 3)
     eqs = NormalEqs(
