@@ -13,10 +13,18 @@ CPU operating point (BASELINE.md).
 
 import functools
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: repeat bench runs skip the (remote) compile
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():

@@ -589,6 +589,11 @@ class Estimator:
         quality = np.asarray(self._landmark_quality_fn(problem._replace(states=states)))
         for lm in self.landmarks.values():
             lm.quality = float(quality[lm.slot])
+            # a landmark becomes initialized once its 3x3 Hessian is
+            # well-conditioned (depth observable) — ref landmark quality /
+            # initialized semantics, Estimator.cpp:880-900
+            if not lm.initialized and lm.quality > 1e-3:
+                lm.initialized = True
         if verbose:
             print(
                 f"optimize: cost {float(diag.final_cost):.3f} "

@@ -165,7 +165,19 @@ class Frontend:
         # RANSAC 3D-2D outlier rejection (Frontend.cpp:575-642)
         self._ransac_3d2d(estimator, multiframe, T_WS_prop)
 
+        # initialization: 2D-2D RANSAC decides rotation-only vs translation
+        # (ref runRansac2d2d, Frontend.cpp:645-810; init flips at :184-189)
+        if not self.is_initialized and kf_ids:
+            kf_mf = estimator.multiframes.get(kf_ids[-1])
+            if kf_mf is not None:
+                rotation_only = self._ransac_2d2d(
+                    estimator, kf_mf, multiframe, initialize_pose=True,
+                    remove_outliers=False,
+                )
+                if not rotation_only:
+                    self.is_initialized = True
         if not self.is_initialized and num_3d2d > 0:
+            # stereo shortcut: metric landmarks already exist
             self.is_initialized = True
 
         # --- keyframe decision (Frontend.cpp:196) ---
@@ -324,17 +336,23 @@ class Frontend:
             jnp.asarray(uv_b),
             jnp.asarray(pmask),
         )
-        ok = np.asarray(valid) & ~np.asarray(parallel)
+        ok = np.asarray(valid)
+        par = np.asarray(parallel)
         hp = np.asarray(hp)
         added = 0
         for j in np.nonzero(ok[:n])[0]:
             w = hp[j, 3]
-            if abs(w) < 1e-8:
-                continue
             ia, ib = matches[j]
             lm_id = IdProvider.new_id()
             try:
-                estimator.add_landmark(lm_id, hp[j, :3] / w)
+                if par[j] or abs(w) < 1e-6:
+                    # parallel rays: point at infinity (w≈1e-3), kept as an
+                    # uninitialized landmark constraining rotation only
+                    # (ref triangulateFast parallel path + landmark
+                    # initialized flag)
+                    estimator.add_landmark(lm_id, hp[j], initialized=False)
+                else:
+                    estimator.add_landmark(lm_id, hp[j, :3] / w)
             except RuntimeError:
                 break  # landmark table full
             frame_a.set_landmark_id(cam_a, ia, lm_id)
@@ -423,3 +441,101 @@ class Frontend:
                 lm_id = int(f.landmark_ids[k])
                 estimator.remove_observation(lm_id, multiframe.id, cam, int(k))
                 multiframe.set_landmark_id(cam, int(k), 0)
+
+    def _ransac_2d2d(
+        self,
+        estimator,
+        frame_a: MultiFrame,
+        frame_b: MultiFrame,
+        initialize_pose: bool,
+        remove_outliers: bool,
+    ) -> bool:
+        """Rotation-only vs relative-pose RANSAC over shared-landmark
+        correspondences between an older frame A and the current frame B
+        (ref runRansac2d2d, Frontend.cpp:645-810). Returns rotationOnly."""
+        from .ransac import decompose_essential, ransac_relative_pose, ransac_rotation_only
+
+        rotation_only_out = True
+        for cam in range(frame_b.num_cameras):
+            fa, fb = frame_a.frames[cam], frame_b.frames[cam]
+            # correspondences: keypoints sharing a landmark id
+            lm_to_a = {
+                int(l): i for i, l in enumerate(fa.landmark_ids) if l != 0
+            }
+            pairs = [
+                (lm_to_a[int(l)], i)
+                for i, l in enumerate(fb.landmark_ids)
+                if l != 0 and int(l) in lm_to_a
+            ]
+            if len(pairs) < 10:
+                continue
+            K = self.cfg.max_keypoints
+            uv_a = np.zeros((K, 2))
+            uv_b = np.zeros((K, 2))
+            mask = np.zeros(K, bool)
+            for j, (ia, ib) in enumerate(pairs[:K]):
+                uv_a[j] = np.asarray(fa.keypoints.uv[ia])
+                uv_b[j] = np.asarray(fb.keypoints.uv[ib])
+                mask[j] = True
+            spec = self.rig.specs[cam]
+            intr = estimator.intrinsics[cam]
+            bear_a = kernels.back_project_batch(spec, intr, jnp.asarray(uv_a))
+            bear_b = kernels.back_project_batch(spec, intr, jnp.asarray(uv_b))
+            focal = float(intr[0])
+            n_corr = len(pairs[:K])
+
+            rot = ransac_rotation_only(
+                self._next_key(), bear_a, bear_b, jnp.asarray(mask), focal=focal,
+                threshold_px2=self.cfg.ransac_threshold_px2,
+            )
+            rel = ransac_relative_pose(
+                self._next_key(), bear_a, bear_b, jnp.asarray(mask), focal=focal,
+                threshold_px2=self.cfg.ransac_threshold_px2,
+            )
+            rot_ratio = int(rot.num_inliers) / n_corr
+            rel_ratio = int(rel.num_inliers) / n_corr
+
+            # decision (Frontend.cpp:712-731)
+            if rot_ratio > rel_ratio or rot_ratio > 0.8:
+                rotation_only_cam = True
+                inliers = np.asarray(rot.inliers)
+                success = int(rot.num_inliers) > 10
+            else:
+                rotation_only_cam = False
+                inliers = np.asarray(rel.inliers)
+                success = int(rel.num_inliers) > 10
+            if not success:
+                continue
+            rotation_only_out = rotation_only_out and rotation_only_cam
+
+            if remove_outliers:
+                for j, (ia, ib) in enumerate(pairs[:K]):
+                    if not inliers[j]:
+                        lm_id = int(fb.landmark_ids[ib])
+                        frame_b.set_landmark_id(cam, ib, 0)
+                        if lm_id and estimator.is_landmark_added(lm_id):
+                            estimator.remove_observation(
+                                lm_id, frame_b.id, cam, ib
+                            )
+
+            # pose initialization from the relative model (Frontend.cpp:756-807)
+            if initialize_pose and not self.is_initialized and not rotation_only_cam:
+                E = jnp.asarray(rel.model).reshape(3, 3)
+                R_ab, t_ab = decompose_essential(E, bear_a, bear_b, rel.inliers)
+                T_SC = estimator.get_extrinsics(cam)
+                T_WS_a = estimator.get_T_WS(frame_a.id)
+                T_WS_b = estimator.get_T_WS(frame_b.id)
+                # scale the unit translation by projecting the IMU-predicted
+                # relative translation onto it (Frontend.cpp:783-797)
+                T_CaCb_pred = kin.compose(
+                    kin.inverse(kin.compose(T_WS_a, T_SC)),
+                    kin.compose(T_WS_b, T_SC),
+                )
+                scale = max(0.0, float(jnp.dot(t_ab, T_CaCb_pred.r)))
+                T_CaCb = kin.SE3(r=t_ab * scale, q=kin.matrix_to_quat(R_ab))
+                T_WS_new = kin.compose(
+                    kin.compose(kin.compose(T_WS_a, T_SC), T_CaCb),
+                    kin.inverse(T_SC),
+                )
+                estimator.set_T_WS(frame_b.id, T_WS_new)
+        return rotation_only_out

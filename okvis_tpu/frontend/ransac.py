@@ -226,3 +226,45 @@ def ransac_absolute_pose(
         model=Ms[best].ravel(),
         success=counts[best] >= 6,
     )
+
+
+@jax.jit
+def decompose_essential(
+    E: jnp.ndarray,  # (3, 3)
+    f_a: jnp.ndarray,  # (N, 3) bearings frame A
+    f_b: jnp.ndarray,  # (N, 3) bearings frame B
+    mask: jnp.ndarray,  # (N,) inliers to vote with
+):
+    """E -> (R_AB, t_AB unit) by cheirality voting over the four candidates
+    (the reference gets [R|t] directly from OpenGV's Stewenius solver;
+    the 8-point path recovers it here). Convention: f_a ≈ R_AB f_b·λ + t·μ,
+    epipolar constraint f_aᵀ [t]x R f_b = 0 with E = [t]x R."""
+    U, s, Vt = jnp.linalg.svd(E)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    # enforce proper rotations
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt * d
+    R2 = U @ W.T @ Vt * d
+    t1 = U[:, 2]
+    cands_R = jnp.stack([R1, R1, R2, R2])
+    cands_t = jnp.stack([t1, -t1, t1, -t1])
+
+    def depth_votes(R, t):
+        # triangulate by midpoint along each pair; count points with positive
+        # depth in both views
+        rb = jnp.einsum("ij,nj->ni", R, f_b)
+        # solve [f_a, -rb] [la, lb]^T = t (least squares per pair, 2x2 normal eqs)
+        a11 = jnp.sum(f_a * f_a, axis=1)
+        a12 = -jnp.sum(f_a * rb, axis=1)
+        a22 = jnp.sum(rb * rb, axis=1)
+        b1 = jnp.sum(f_a * t[None, :], axis=1)
+        b2 = -jnp.sum(rb * t[None, :], axis=1)
+        det = a11 * a22 - a12 * a12
+        safe = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+        la = (a22 * b1 - a12 * b2) / safe
+        lb = (-a12 * b1 + a11 * b2) / safe
+        return jnp.sum((la > 0) & (lb > 0) & mask)
+
+    votes = jax.vmap(depth_votes)(cands_R, cands_t)
+    best = jnp.argmax(votes)
+    return cands_R[best], cands_t[best]

@@ -117,6 +117,9 @@ class ThreadedVio:
         # ThreadedKFVio.cpp:542-601): called (t_ns, T_WS, speed_and_bias)
         # for every IMU sample once an optimized state exists
         self.propagated_state_callback: Optional[Callable] = None
+        # landmarks leaving the window (ref transferredLandmarks,
+        # ThreadedKFVio.cpp:304): called (t_ns, {lm_id: hp_W})
+        self.transferred_landmarks_callback: Optional[Callable] = None
 
         self.trajectory: List[StateEstimate] = []  # every optimized state
         self._position_measurements: List[tuple] = []  # buffered, unused (ref parity)
@@ -414,7 +417,16 @@ class ThreadedVio:
                 est.optimize(max_iterations=iters)
                 self._last_opt_duration = _time.perf_counter() - _t0
             with Timer("3.2 marginalization"):
+                removed_hp = {
+                    lm_id: est.get_landmark(lm_id)
+                    for lm_id in list(est.landmarks.keys())
+                }
                 removed = est.apply_marginalization_strategy()
+                if removed and self.transferred_landmarks_callback:
+                    self.transferred_landmarks_callback(
+                        ts_ns,
+                        {i: removed_hp[i] for i in removed if i in removed_hp},
+                    )
             self._trim_imu(epoch0 + int(est._states_by_time()[0].timestamp * NS))
 
             result = StateEstimate(

@@ -227,3 +227,73 @@ def test_imu_rate_propagated_state_publishing():
         idx = int(round(t_ns / NS * 200))
         errs.append(np.linalg.norm(r - traj.r[idx]))
     assert np.median(errs) < 0.05, f"propagated-state error {np.median(errs):.4f}"
+
+
+def test_visualizer_overlay():
+    """VioVisualizer analog: color-coded keypoint overlays render."""
+    from okvis_tpu.frontend.detection import Keypoints
+    from okvis_tpu.frontend.frame import FrameData, MultiFrame
+    from okvis_tpu.pipeline.visualizer import draw_multiframe
+
+    K = 8
+    uv = jnp.asarray(np.random.default_rng(0).uniform(10, 90, (K, 2)))
+    f = FrameData(
+        keypoints=Keypoints(uv=uv, score=jnp.ones(K), mask=jnp.ones(K, bool)),
+        descriptors=jnp.zeros((K, 16), jnp.uint32),
+        landmark_ids=np.zeros(K, np.int64),
+        image=jnp.full((100, 100), 100.0),
+    )
+    f.landmark_ids[0] = 7  # associated but unknown to estimator -> blue
+    mf = MultiFrame(id=1, timestamp=0.0, frames=[f])
+    imgs = draw_multiframe(mf)
+    assert imgs[0].shape == (100, 100, 3)
+    # red ring for unmatched keypoints must appear
+    assert (imgs[0] == np.asarray([255, 60, 60], np.uint8)).all(-1).any()
+
+
+@pytest.mark.slow
+def test_mono_vio_tracking():
+    """Monocular VIO (BASELINE.json config 1): single camera + IMU; the 2D-2D
+    rotation-only vs relative RANSAC drives initialization, landmarks start
+    at infinity for parallel rays, and scale comes from the IMU."""
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig, make_landmarks
+
+    params = _make_params()
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    # single-camera rig
+    rig = NCameraSystem(
+        specs=(specs[0],),
+        T_SC=kin.SE3(r=T_SC.r[:1], q=T_SC.q[:1]),
+        intrinsics=[intrinsics[0]],
+    )
+    rig.compute_overlaps()
+    traj = simulate_trajectory(duration=3.5, seed=61, motion_scale=0.6)
+    lms = make_landmarks(traj, 240, seed=62, radius=(3.0, 9.0))
+
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
+    stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
+    install_stub(vio, stub)
+
+    img = np.zeros((480, 752), np.float32)
+    imu_i = 0
+    n_frames = 30
+    for fi in range(n_frames):
+        t_ns = int(fi * 0.1 * NS)
+        idx = int(round(fi * 0.1 * 200))
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            vio.add_imu_measurement(int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i])
+            imu_i += 1
+        stub.T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        vio.add_image(t_ns, 0, img)
+        vio.wait_idle(timeout=120)
+    vio.shutdown()
+
+    assert len(vio.trajectory) >= n_frames - 3
+    assert vio.frontend.is_initialized
+    est_ts = np.asarray([s.timestamp_ns for s in vio.trajectory])
+    est_p = np.stack([np.asarray(s.T_WS.r) for s in vio.trajectory])
+    ate = ate_rmse(est_ts, est_p, (traj.ts * NS).astype(np.int64), traj.r)
+    assert ate is not None
+    # mono: scale only weakly observable through the IMU over 3.5 s —
+    # allow a looser bound than stereo
+    assert ate < 0.25, f"mono ATE {ate:.4f} m"
