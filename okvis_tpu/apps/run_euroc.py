@@ -37,6 +37,12 @@ def run(
     detection_threshold: float = None,
     max_keypoints: int = None,
 ) -> dict:
+    import os as _os
+
+    if not _os.path.isdir(mav0_dir):
+        raise SystemExit(f"error: dataset directory not found: {mav0_dir}")
+    if not _os.path.isfile(config_path):
+        raise SystemExit(f"error: config file not found: {config_path}")
     params = read_config(config_path)
     if detection_threshold is not None:
         params.optimization.detection_threshold = detection_threshold
