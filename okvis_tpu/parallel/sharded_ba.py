@@ -166,10 +166,10 @@ def make_sharded_optimizer(
         eqs0 = sharded_evaluate(problem, states0, hp0)
         lam0 = jnp.asarray(cfg.init_lambda, dtype)
 
+        # equations of the current iterate ride the carry: exactly one
+        # sharded evaluation (one psum round) per LM iteration
         def lm_iter(carry, _):
-            states_dense, hp, lam, cost = carry
-            eqs = sharded_evaluate(problem, states_dense, hp)
-            # local Schur contribution, then psum of the reduced system
+            states_dense, hp, eqs, lam = carry
             delta_d, delta_l = _sharded_solve(
                 cfg, cfg_local, eqs, problem.state_mask, problem.lm_mask,
                 lam, problem.sb_mask, axis,
@@ -183,21 +183,23 @@ def make_sharded_optimizer(
                 problem.lm_mask,
             )
             cand_dense = cand_full._replace(hp_W=states_dense.hp_W)
-            new_cost = sharded_evaluate(problem, cand_dense, cand_full.hp_W).cost
-            accept = new_cost < cost
+            eqs_cand = sharded_evaluate(problem, cand_dense, cand_full.hp_W)
+            accept = eqs_cand.cost < eqs.cost
             states_dense = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(accept, a, b), cand_dense, states_dense
             )
             hp = jnp.where(accept, cand_full.hp_W, hp)
-            cost = jnp.where(accept, new_cost, cost)
+            eqs = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b), eqs_cand, eqs
+            )
             lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e8)
-            return (states_dense, hp, lam, cost), cost
+            return (states_dense, hp, eqs, lam), eqs.cost
 
-        (states, hp, lam, cost), hist = jax.lax.scan(
-            lm_iter, (states0, hp0, lam0, eqs0.cost), None,
+        (states, hp, eqs, lam), hist = jax.lax.scan(
+            lm_iter, (states0, hp0, eqs0, lam0), None,
             length=cfg.max_iterations,
         )
-        return states._replace(hp_W=hp), (cost, hist)
+        return states._replace(hp_W=hp), (eqs.cost, hist)
 
     smapped = shard_map(
         step_body, mesh=mesh, in_specs=(specs,), out_specs=out_spec,

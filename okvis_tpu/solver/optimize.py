@@ -179,12 +179,12 @@ def optimize_window_dogleg(
     Same static-shape scan structure as the LM loop."""
     states0 = problem.states
     dtype = states0.r_WS.dtype
-    cost0 = evaluate(cfg, imu_params, intrinsics, problem, states0).cost
+    eqs0 = evaluate(cfg, imu_params, intrinsics, problem, states0)
     radius0 = jnp.asarray(cfg.init_radius, dtype)
 
     def step(carry, _):
-        states, radius, cost = carry
-        eqs = evaluate(cfg, imu_params, intrinsics, problem, states)
+        states, eqs, radius = carry
+        cost = eqs.cost
         zero_lam = jnp.asarray(1e-10, dtype)
         gn_d, gn_l = solve_normal_eqs(
             cfg, eqs, problem.state_mask, problem.lm_mask, zero_lam, problem.sb_mask
@@ -229,7 +229,8 @@ def optimize_window_dogleg(
         cand = apply_update(
             cfg, states, p_d, p_l, problem.state_mask, problem.lm_mask
         )
-        new_cost = evaluate(cfg, imu_params, intrinsics, problem, cand).cost
+        eqs_cand = evaluate(cfg, imu_params, intrinsics, problem, cand)
+        new_cost = eqs_cand.cost
         btp, pHp = _system_quadratic(eqs, p_d, p_l, problem.lm_mask)
         predicted = btp - 0.5 * pHp
         rho = (cost - new_cost) / jnp.maximum(predicted, 1e-30)
@@ -237,7 +238,9 @@ def optimize_window_dogleg(
         states = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), cand, states
         )
-        cost = jnp.where(accept, new_cost, cost)
+        eqs = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), eqs_cand, eqs
+        )
         p_norm = jnp.sqrt(jnp.dot(p_d, p_d) + jnp.sum(p_l * p_l) + 1e-300)
         radius = jnp.where(
             rho > 0.75,
@@ -246,13 +249,13 @@ def optimize_window_dogleg(
         )
         radius = jnp.where(accept, radius, 0.25 * radius)
         radius = jnp.clip(radius, 1e-8, 1e12)
-        return (states, radius, cost), (cost, accept)
+        return (states, eqs, radius), (eqs.cost, accept)
 
-    (states, radius, cost), (hist, acc) = jax.lax.scan(
-        step, (states0, radius0, cost0), None, length=cfg.max_iterations
+    (states, eqs, radius), (hist, acc) = jax.lax.scan(
+        step, (states0, eqs0, radius0), None, length=cfg.max_iterations
     )
     return states, SolveDiagnostics(
-        cost_history=hist, accepted=acc, final_cost=cost, final_lambda=radius
+        cost_history=hist, accepted=acc, final_cost=eqs.cost, final_lambda=radius
     )
 
 
@@ -272,32 +275,39 @@ def optimize_window(
     if cfg.algorithm == "dogleg":
         return optimize_window_dogleg(cfg, imu_params, intrinsics, problem)
     states0 = problem.states
-    cost0 = evaluate(cfg, imu_params, intrinsics, problem, states0).cost
+    eqs0 = evaluate(cfg, imu_params, intrinsics, problem, states0)
     lam0 = jnp.asarray(cfg.init_lambda, dtype=states0.r_WS.dtype)
 
+    # The normal equations of the CURRENT iterate ride the carry: each
+    # iteration evaluates the factor graph exactly ONCE (at the candidate) —
+    # on accept that evaluation becomes the next iterate's equations, on
+    # reject the carried ones are reused with a larger damping. This halves
+    # the dominant cost vs the naive evaluate-current + evaluate-candidate
+    # loop.
     def step(carry, _):
-        states, lam, cost = carry
-        eqs = evaluate(cfg, imu_params, intrinsics, problem, states)
+        states, eqs, lam = carry
         delta_d, delta_l = solve_normal_eqs(
             cfg, eqs, problem.state_mask, problem.lm_mask, lam, problem.sb_mask
         )
         cand = apply_update(
             cfg, states, delta_d, delta_l, problem.state_mask, problem.lm_mask
         )
-        new_cost = evaluate(cfg, imu_params, intrinsics, problem, cand).cost
-        accept = new_cost < cost
+        eqs_cand = evaluate(cfg, imu_params, intrinsics, problem, cand)
+        accept = eqs_cand.cost < eqs.cost
         states = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), cand, states
         )
-        cost_next = jnp.where(accept, new_cost, cost)
+        eqs = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), eqs_cand, eqs
+        )
         lam_next = jnp.clip(
             jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e8
         )
-        return (states, lam_next, cost_next), (cost_next, accept)
+        return (states, eqs, lam_next), (eqs.cost, accept)
 
-    (states, lam, cost), (hist, acc) = jax.lax.scan(
-        step, (states0, lam0, cost0), None, length=cfg.max_iterations
+    (states, eqs, lam), (hist, acc) = jax.lax.scan(
+        step, (states0, eqs0, lam0), None, length=cfg.max_iterations
     )
     return states, SolveDiagnostics(
-        cost_history=hist, accepted=acc, final_cost=cost, final_lambda=lam
+        cost_history=hist, accepted=acc, final_cost=eqs.cost, final_lambda=lam
     )
