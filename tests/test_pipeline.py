@@ -297,3 +297,63 @@ def test_mono_vio_tracking():
     # mono: scale only weakly observable through the IMU over 3.5 s —
     # allow a looser bound than stereo
     assert ate < 0.25, f"mono ATE {ate:.4f} m"
+
+
+@pytest.mark.slow
+def test_dataflow_call_counts():
+    """testDataFlow analog (testDataFlow.cpp:24-113): feed 100 Hz IMU +
+    10 Hz stereo for 1 s; stage call counts must match the routing."""
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig, make_landmarks
+
+    params = _make_params()
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    rig.compute_overlaps()
+    traj = simulate_trajectory(duration=1.2, seed=71, motion_scale=0.3)
+    lms = make_landmarks(traj, 150, seed=72)
+
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
+    stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
+    install_stub(vio, stub)
+
+    counts = {"detect": 0, "assoc": 0, "opt": 0, "marg": 0}
+    orig_multi = vio.frontend.detect_and_describe_multi
+    vio.frontend.detect_and_describe_multi = lambda *a, **k: (
+        counts.__setitem__("detect", counts["detect"] + 1) or orig_multi(*a, **k)
+    )
+    orig_assoc = vio.frontend.data_association_and_initialization
+    def assoc(*a, **k):
+        counts["assoc"] += 1
+        return orig_assoc(*a, **k)
+    vio.frontend.data_association_and_initialization = assoc
+    est = vio.estimator
+    orig_opt, orig_marg = est.optimize, est.apply_marginalization_strategy
+    def opt(*a, **k):
+        counts["opt"] += 1
+        return orig_opt(*a, **k)
+    def marg(*a, **k):
+        counts["marg"] += 1
+        return orig_marg(*a, **k)
+    est.optimize, est.apply_marginalization_strategy = opt, marg
+
+    img = np.zeros((480, 752), np.float32)
+    n_frames = 10
+    imu_i = 0
+    for fi in range(n_frames):
+        t_ns = int(fi * 0.1 * NS)
+        idx = int(round(fi * 0.1 * 200))
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            vio.add_imu_measurement(int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i])
+            imu_i += 1
+        stub.T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        vio.add_image(t_ns, 0, img)
+        vio.add_image(t_ns, 1, img)
+        vio.wait_idle(timeout=120)
+    vio.shutdown()
+
+    # one detection batch / association / optimize / marginalization per frame
+    assert counts["detect"] == n_frames, counts
+    assert counts["assoc"] == n_frames, counts
+    assert counts["opt"] == n_frames, counts
+    assert counts["marg"] == n_frames, counts
+    assert len(vio.trajectory) == n_frames
