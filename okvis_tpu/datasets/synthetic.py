@@ -452,3 +452,57 @@ def write_euroc_format(
                 os.path.join(d, f"{ts_ns}.png")
             )
     return mav0
+
+
+def render_textured_plane(
+    spec,
+    intrinsics,
+    T_WC,
+    texture: np.ndarray,  # (Ht, Wt) float grayscale
+    plane_z: float = 0.0,
+    plane_scale: float = 100.0,  # texture pixels per world meter
+    background: float = 90.0,
+) -> np.ndarray:
+    """Render the camera viewing a textured plane z=plane_z (world).
+
+    Natural-texture imagery for full-vision tests: every camera pixel's ray
+    is intersected with the plane and bilinearly sampled from the texture
+    (rays pointing away from the plane get the background value). Fully
+    vectorized numpy; no occlusion (single plane).
+    """
+    import jax
+
+    from ..cameras import pinhole as _ph
+    from .. import kinematics as _kin
+
+    H, W = spec.height, spec.width
+    us, vs = np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32))
+    uv = jnp.asarray(np.stack([us.ravel(), vs.ravel()], axis=-1))
+    rays_C = np.array(
+        jax.vmap(lambda p: _ph.back_project(spec, intrinsics, p))(uv)
+    )  # (N, 3)
+    C_WC = np.array(_kin.quat_to_matrix(T_WC.q))
+    o_W = np.asarray(T_WC.r)
+    d_W = rays_C @ C_WC.T  # (N, 3)
+    dz = d_W[:, 2]
+    t = (plane_z - o_W[2]) / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+    hit = t > 0.05
+    p_W = o_W[None, :] + t[:, None] * d_W
+    tx = p_W[:, 0] * plane_scale
+    ty = p_W[:, 1] * plane_scale
+    Ht, Wt = texture.shape
+    # wrap the texture so the plane is endless
+    x0 = np.floor(tx).astype(np.int64)
+    y0 = np.floor(ty).astype(np.int64)
+    fx = (tx - x0).astype(np.float32)
+    fy = (ty - y0).astype(np.float32)
+    x0m, y0m = x0 % Wt, y0 % Ht
+    x1m, y1m = (x0 + 1) % Wt, (y0 + 1) % Ht
+    v = (
+        texture[y0m, x0m] * (1 - fx) * (1 - fy)
+        + texture[y0m, x1m] * fx * (1 - fy)
+        + texture[y1m, x0m] * (1 - fx) * fy
+        + texture[y1m, x1m] * fx * fy
+    )
+    img = np.where(hit, v, background).astype(np.float32)
+    return img.reshape(H, W)
