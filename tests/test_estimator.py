@@ -143,3 +143,70 @@ def test_checkpoint_resume(tmp_path):
     )
     np.testing.assert_allclose(est2.get_landmark(42), est.get_landmark(42))
     assert len(est2.observations) == 1 and len(est2.pose_priors) == 1
+
+
+@pytest.mark.slow
+def test_marginalization_consistency_vs_batch():
+    """Gold-standard FEJ check: the marginalized sliding-window estimate of
+    the recent states must agree with a full-batch estimator (window large
+    enough to never marginalize) on the same data."""
+    rng = np.random.default_rng(17)
+    traj = simulate_trajectory(duration=1.6, seed=13, motion_scale=0.5)
+    rig = make_rig()
+    lms = make_landmarks(traj, 100, seed=14, radius=(3.0, 8.0))
+    imu_params = ImuParams.euroc()
+
+    def run(num_kf, num_imu, S):
+        cfg = WindowConfig(
+            num_states=S,
+            num_cameras=2,
+            max_landmarks=256,
+            max_observations=2048,
+            imu_samples=32,
+            max_imu_links=S - 1,
+            camera_specs=tuple(rig.specs),
+        )
+        est = Estimator(rig, imu_params, num_keyframes=num_kf, num_imu_frames=num_imu, cfg=cfg)
+        obs_noise = np.random.default_rng(99)  # identical noise both runs
+        sids = []
+        for fi in range(15):
+            t = fi * 0.1
+            idx = int(round(t * 200))
+            lo, hi = max(0, idx - 24), min(len(traj.ts), idx + 5)
+            sid = est.add_states(t, traj.ts[lo:hi], traj.gyro[lo:hi], traj.acc[lo:hi],
+                                 as_keyframe=(fi % 2 == 0))
+            sids.append(sid)
+            T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+            for li, p_W in enumerate(lms):
+                vis = []
+                for c in range(2):
+                    T_CW = kin.inverse(kin.compose(T_WS_true, rig.camera_T_SC(c)))
+                    p_C = kin.transform_point(T_CW, jnp.asarray(p_W))
+                    uv, flags = pinhole.project(rig.specs[c], est.intrinsics[c], p_C)
+                    if int(flags) == pinhole.STATUS_OK:
+                        vis.append((c, np.asarray(uv)))
+                if not vis:
+                    continue
+                lm_id = 50_000 + li
+                if not est.is_landmark_added(lm_id):
+                    if len(vis) < 2:
+                        continue
+                    est.add_landmark(lm_id, p_W + obs_noise.normal(0, 0.03, 3))
+                for c, uv in vis:
+                    est.add_observation(lm_id, sid, c, uv + obs_noise.normal(0, 0.5, 2),
+                                        keypoint_idx=li, size=8.0)
+            est.optimize()
+            est.apply_marginalization_strategy()
+        return est, sids
+
+    est_marg, sids_m = run(5, 3, 9)      # standard window, marginalizes
+    est_batch, sids_b = run(99, 99, 16)  # never marginalizes
+
+    # compare the 3 newest common states
+    diffs = []
+    for sid_m, sid_b in list(zip(sids_m, sids_b))[-3:]:
+        T_m = est_marg.get_T_WS(sid_m)
+        T_b = est_batch.get_T_WS(sid_b)
+        diffs.append(np.abs(np.asarray(kin.minus(T_b, T_m))).max())
+    assert max(diffs) < 0.03, f"marginalized vs batch deviation: {diffs}"
+    assert est_marg.marg_valid and not est_batch.marg_valid
