@@ -14,11 +14,16 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import kinematics as kin
+from ..cameras import pinhole
 from ..cameras.pinhole import CameraSpec
+from ..factors import sqrt_information
+from ..imu.preintegration import ImuParams, preintegrate
+from ..solver import WindowConfig, empty_problem
 
 
 def _np_quat_mul(q1, q2):
@@ -172,15 +177,6 @@ def make_landmarks(
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     rad = rng.uniform(radius[0], radius[1], (n_landmarks, 1))
     return center + dirs * rad
-
-import jax
-
-from ..factors import sqrt_information
-from ..imu.preintegration import ImuParams, preintegrate
-from ..solver import WindowConfig, empty_problem
-from .. import kinematics as kin
-from ..cameras import pinhole
-
 
 def build_ba_problem(
     num_frames=4,
