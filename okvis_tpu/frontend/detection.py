@@ -96,11 +96,14 @@ def detect_keypoints(
     max_keypoints: int = 400,
     nms_radius: int = 4,
     border: int = 20,
+    mask: jnp.ndarray = None,
 ) -> Keypoints:
     """Detect up to max_keypoints Harris corners with subpixel refinement.
 
     Fixed output shape; invalid slots masked. `border` excludes the image rim
-    where the descriptor pattern would leave the image.
+    where the descriptor pattern would leave the image; an optional (H, W)
+    boolean `mask` suppresses detections outside it (ref CameraBase image
+    mask, okvis_cv/include/okvis/cameras/CameraBase.hpp isMasked).
     """
     H, W = img.shape
     score = harris_response(img)
@@ -108,6 +111,8 @@ def detect_keypoints(
     ys = jnp.arange(H)[:, None]
     xs = jnp.arange(W)[None, :]
     inb = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
+    if mask is not None:
+        inb = inb & mask
     score = jnp.where(inb, score, -jnp.inf)
     sup = nms(score, nms_radius)
 

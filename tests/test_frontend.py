@@ -244,3 +244,19 @@ def test_hamming_pallas_interpret(rng):
     b = jnp.asarray(rng.integers(0, 2**32, (256, 16), dtype=np.uint32))
     d1 = hamming_matrix_pallas(a, b, interpret=True)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(hamming_matrix_xla(a, b)))
+
+
+def test_detection_mask(rng):
+    """Image-mask support (ref CameraBase mask): no detections inside the
+    suppressed region."""
+    img, pts = synth_corner_image(rng)
+    H, W = img.shape
+    mask = np.ones((H, W), bool)
+    mask[:, : W // 2] = False  # suppress the left half
+    kps = detect_keypoints(
+        jnp.asarray(img), threshold=10.0, max_keypoints=64, border=8,
+        mask=jnp.asarray(mask),
+    )
+    found = np.asarray(kps.uv)[np.asarray(kps.mask)]
+    assert len(found) > 0
+    assert np.all(found[:, 0] >= W // 2 - 1)
