@@ -138,3 +138,60 @@ def detect_keypoints(
     uv = jnp.stack([xx + ox, yy + oy], axis=-1)
     mask = (vals > threshold) & jnp.isfinite(vals)
     return Keypoints(uv=uv, score=vals, mask=mask)
+
+
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x area downsample (average pooling)."""
+    H, W = img.shape
+    return img[: H - H % 2, : W - W % 2].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_keypoints", "nms_radius", "border", "octaves")
+)
+def detect_keypoints_pyramid(
+    img: jnp.ndarray,
+    threshold: float = 30.0,
+    max_keypoints: int = 400,
+    nms_radius: int = 4,
+    border: int = 20,
+    octaves: int = 2,
+) -> Tuple[Keypoints, jnp.ndarray]:
+    """Scale-space detection over `octaves`+1 pyramid levels
+    (ref brisk::ScaleSpaceFeatureDetector with octaves>0; the detection_options
+    'octaves' knob, config/config_fpga_p2_euroc.yaml:66-68).
+
+    Per level: Harris + NMS + per-level top-K; coordinates are scaled back to
+    the base image and the global strongest max_keypoints survive. Returns
+    (Keypoints, sizes) where sizes[k] = base_size · 2^octave — feeding the
+    observation weighting information = 64/size²."""
+    BASE_SIZE = 8.0
+    levels = [img]
+    for _ in range(octaves):
+        levels.append(_downsample2(levels[-1]))
+
+    all_uv, all_score, all_mask, all_size = [], [], [], []
+    for o, im in enumerate(levels):
+        kps = detect_keypoints(
+            im,
+            threshold=threshold,
+            max_keypoints=max_keypoints,
+            nms_radius=nms_radius,
+            border=max(4, border // (2**o)),
+        )
+        scale = float(2**o)
+        all_uv.append(kps.uv * scale + (scale - 1.0) / 2.0)
+        all_score.append(kps.score)
+        all_mask.append(kps.mask)
+        all_size.append(jnp.full((max_keypoints,), BASE_SIZE * scale))
+    uv = jnp.concatenate(all_uv)
+    score = jnp.concatenate(all_score)
+    mask = jnp.concatenate(all_mask)
+    size = jnp.concatenate(all_size)
+    # global strongest max_keypoints
+    neg = jnp.where(mask, score, -jnp.inf)
+    vals, idx = jax.lax.top_k(neg, max_keypoints)
+    return (
+        Keypoints(uv=uv[idx], score=score[idx], mask=mask[idx] & jnp.isfinite(vals)),
+        size[idx],
+    )

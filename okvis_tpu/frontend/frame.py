@@ -27,6 +27,10 @@ class FrameData:
     descriptors: jnp.ndarray  # (K, 16) uint32
     landmark_ids: np.ndarray  # (K,) int64 host array; 0 = none
     image: Optional[jnp.ndarray] = None  # (H, W) retained for visualization
+    sizes: Optional[np.ndarray] = None  # (K,) keypoint size (octave-scaled)
+
+    def keypoint_size(self, k: int) -> float:
+        return float(self.sizes[k]) if self.sizes is not None else 8.0
 
     @property
     def num_keypoints(self) -> int:

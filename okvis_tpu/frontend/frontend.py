@@ -45,6 +45,7 @@ from .ransac import ransac_absolute_pose
 @dataclasses.dataclass
 class FrontendConfig:
     detection_threshold: float = 30.0
+    detection_octaves: int = 0  # >0 enables scale-space detection
     max_keypoints: int = 400
     matching_threshold: int = 60  # BRISK Hamming (Frontend.cpp:78)
     gate_radius_px: float = 40.0  # image-space gate for 3D-2D candidates
@@ -74,11 +75,23 @@ class Frontend:
         self, cam_idx: int, image: jnp.ndarray, T_WC: Optional[kin.SE3] = None
     ) -> FrameData:
         """Detection + gravity-aligned description (Frontend.cpp:92-114)."""
-        kps = detect_keypoints(
-            image,
-            threshold=self.cfg.detection_threshold,
-            max_keypoints=self.cfg.max_keypoints,
-        )
+        sizes = None
+        if self.cfg.detection_octaves > 0:
+            from .detection import detect_keypoints_pyramid
+
+            kps, sizes_j = detect_keypoints_pyramid(
+                image,
+                threshold=self.cfg.detection_threshold,
+                max_keypoints=self.cfg.max_keypoints,
+                octaves=self.cfg.detection_octaves,
+            )
+            sizes = np.asarray(sizes_j)
+        else:
+            kps = detect_keypoints(
+                image,
+                threshold=self.cfg.detection_threshold,
+                max_keypoints=self.cfg.max_keypoints,
+            )
         angle = None
         if T_WC is not None:
             g_C = kin.quat_rotate(
@@ -91,6 +104,7 @@ class Frontend:
             descriptors=desc,
             landmark_ids=np.zeros(self.cfg.max_keypoints, np.int64),
             image=image,
+            sizes=sizes,
         )
 
     def detect_and_describe_multi(
@@ -101,6 +115,21 @@ class Frontend:
         from .brisk import detect_and_describe_batch
 
         C = len(images)
+        if self.cfg.detection_octaves > 0:
+            # scale-space path: per-camera pyramid detection (not yet batched)
+            out = []
+            for c in range(C):
+                T_WC = (
+                    kin.compose(
+                        T_WS, kin.SE3(r=self.rig.T_SC.r[c], q=self.rig.T_SC.q[c])
+                    )
+                    if T_WS is not None
+                    else None
+                )
+                out.append(
+                    self.detect_and_describe(c, jnp.asarray(images[c], jnp.float32), T_WC)
+                )
+            return out
         angles = np.zeros(C, np.float32)
         if T_WS is not None:
             for c in range(C):
@@ -358,10 +387,12 @@ class Frontend:
             frame_a.set_landmark_id(cam_a, ia, lm_id)
             frame_b.set_landmark_id(cam_b, ib, lm_id)
             estimator.add_observation(
-                lm_id, frame_a.id, cam_a, uva_np[ia], keypoint_idx=ia, size=8.0
+                lm_id, frame_a.id, cam_a, uva_np[ia], keypoint_idx=ia,
+                size=fa.keypoint_size(ia),
             )
             estimator.add_observation(
-                lm_id, frame_b.id, cam_b, uvb_np[ib], keypoint_idx=ib, size=8.0
+                lm_id, frame_b.id, cam_b, uvb_np[ib], keypoint_idx=ib,
+                size=fb.keypoint_size(ib),
             )
             added += 1
         return added

@@ -75,6 +75,7 @@ class ThreadedVio:
             self.rig,
             FrontendConfig(
                 detection_threshold=params.optimization.detection_threshold,
+                detection_octaves=params.optimization.detection_octaves,
                 max_keypoints=params.optimization.max_num_keypoints,
             ),
         )

@@ -260,3 +260,25 @@ def test_detection_mask(rng):
     found = np.asarray(kps.uv)[np.asarray(kps.mask)]
     assert len(found) > 0
     assert np.all(found[:, 0] >= W // 2 - 1)
+
+
+def test_pyramid_detection(rng):
+    """Multi-octave detection: finds large-scale structure a single octave
+    misses, with per-keypoint sizes scaled by octave."""
+    from okvis_tpu.frontend.detection import detect_keypoints_pyramid
+
+    img, pts = synth_corner_image(rng)
+    # add one large blurry blob only detectable at a coarser scale
+    yy, xx = np.mgrid[0:120, 0:160]
+    img2 = img + 50.0 * np.exp(-(((yy - 60) / 14.0) ** 2 + ((xx - 80) / 14.0) ** 2))
+    kps, sizes = detect_keypoints_pyramid(
+        jnp.asarray(img2.astype(np.float32)), threshold=10.0, max_keypoints=96,
+        border=8, octaves=2,
+    )
+    m = np.asarray(kps.mask)
+    assert m.sum() >= 10
+    s = np.asarray(sizes)[m]
+    assert set(np.unique(s)).issubset({8.0, 16.0, 32.0})
+    # coordinates stay in base-image pixels
+    uv = np.asarray(kps.uv)[m]
+    assert uv[:, 0].max() < 160 and uv[:, 1].max() < 120
