@@ -234,10 +234,15 @@ def _sharded_solve(cfg, cfg_local, eqs, state_mask, lm_mask, lam, sb_mask, axis)
     H_red = H_red * mf[:, None] * mf[None, :] + jnp.diag(1.0 - mf)
     b_red = b_red * mf
     s = jnp.sqrt(jnp.clip(jnp.diagonal(H_red), 1e-12, None))
-    Hs = H_red / (s[:, None] * s[None, :])
-    Lc = jnp.linalg.cholesky(Hs + 1e-10 * jnp.eye(D, dtype=dtype))
-    y = jax.scipy.linalg.solve_triangular(Lc, b_red / s, lower=True)
-    delta_d = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False) / s
+    Hs = H_red / (s[:, None] * s[None, :]) + 1e-10 * jnp.eye(D, dtype=dtype)
+    if cfg.dense_solver == "cholesky":
+        Lc = jnp.linalg.cholesky(Hs)
+        y = jax.scipy.linalg.solve_triangular(Lc, b_red / s, lower=True)
+        delta_d = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False) / s
+    else:
+        from ..solver.optimize import _spd_solve_newton
+
+        delta_d = _spd_solve_newton(Hs, b_red / s) / s
     delta_d = delta_d * mf
 
     rhs_l = eqs.b_l - jnp.einsum("ldk,d->lk", eqs.W, delta_d)

@@ -55,6 +55,7 @@ class WindowConfig:
     init_lambda: float = 1e-4
     algorithm: str = "lm"  # 'lm' | 'dogleg' (reference runs Ceres DOGLEG)
     init_radius: float = 1e4  # dogleg initial trust-region radius
+    dense_solver: str = "newton"  # 'newton' (MXU Newton-Schulz) | 'cholesky'
 
     @property
     def dense_dim(self) -> int:

@@ -164,3 +164,20 @@ def test_online_extrinsics_calibration(rng):
     err1 = np.abs(np.asarray(kin.minus(rel_true, rel(out.r_SC, out.q_SC)))).max()
     assert err1 < 5e-3, f"inter-camera extrinsics error {err1}"
     assert err1 < 0.3 * err0, f"calibration did not improve: {err0} -> {err1}"
+
+
+def test_newton_schulz_solve_matches_cholesky(rng):
+    from okvis_tpu.solver.optimize import _spd_solve_newton
+
+    for cond in (1e2, 1e5):
+        n = 162
+        q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        w = np.geomspace(1.0 / cond, 1.0, n)
+        H = (q * w) @ q.T
+        d = np.sqrt(np.diag(H))
+        Hs = H / np.outer(d, d)  # unit diagonal, as in the solver
+        b = rng.normal(size=n)
+        x_ns = np.asarray(_spd_solve_newton(jnp.asarray(Hs), jnp.asarray(b)))
+        x_ref = np.linalg.solve(Hs, b)
+        rel = np.linalg.norm(x_ns - x_ref) / np.linalg.norm(x_ref)
+        assert rel < 1e-8, f"cond={cond}: rel err {rel}"
