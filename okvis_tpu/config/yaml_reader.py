@@ -9,7 +9,6 @@ typed VioParameters tree and builds the NCameraSystem.
 from __future__ import annotations
 
 import re
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,7 @@ new landmark (midpoint + chi² gate) observed in both frames.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ shoelace area replace cv::convexHull/contourArea/pointPolygonTest).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

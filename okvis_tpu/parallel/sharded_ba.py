@@ -25,14 +25,13 @@ requirement.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..imu.preintegration import ImuParams
 from ..solver.assemble import NormalEqs, evaluate_dense_factors, evaluate_reprojection

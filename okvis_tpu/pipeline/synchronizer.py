@@ -10,9 +10,7 @@ condition-variable barrier until IMU data covers a requested time).
 from __future__ import annotations
 
 import threading
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import List, Optional
 
 
 class FrameSynchronizer:

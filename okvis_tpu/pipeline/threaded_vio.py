@@ -31,7 +31,6 @@ from ..config.yaml_reader import build_imu_params, build_rig
 from ..estimator.estimator import Estimator
 from ..frontend.frame import MultiFrame
 from ..frontend.frontend import Frontend, FrontendConfig
-from ..imu.preintegration import ImuParams
 from ..utils.ids import IdProvider
 from ..utils.timing import Timer, Timing
 from .queues import ShutdownError, ThreadSafeQueue

@@ -10,7 +10,7 @@ arrays the app can save as PNG.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -26,7 +26,7 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 
 from ..cameras.pinhole import CameraSpec
-from ..imu.preintegration import ImuParams, PreintegratedImu
+from ..imu.preintegration import PreintegratedImu
 from ..kinematics.se3 import SE3
 
 
