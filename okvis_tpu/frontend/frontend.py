@@ -180,16 +180,26 @@ class Frontend:
             for s in estimator._states_by_time()
             if s.is_keyframe and s.id != multiframe.id
         ][-cfg.num_matching_keyframes:]
-        num_3d2d = 0
-
-        # --- 3D-2D + 2D-2D against recent keyframes (Frontend.cpp:153-183) ---
+        # source frames: recent keyframes (newest first) + the last frame —
+        # all matched against the current frame in batched kernel launches
+        # (one gated-match / plain-match / triangulation program per camera
+        # instead of one per (source, camera) pair)
+        sources: List[MultiFrame] = []
         for kf_id in reversed(kf_ids):
             kf_mf = estimator.multiframes.get(kf_id)
-            if kf_mf is None:
-                continue
-            num_3d2d += self._match_to_frame(
-                estimator, kf_mf, multiframe, T_WS_prop, do_triangulate=True
-            )
+            if kf_mf is not None:
+                sources.append(kf_mf)
+        by_time = estimator._states_by_time()
+        if len(by_time) >= 2 and by_time[-2].id not in kf_ids:
+            last_mf = estimator.multiframes.get(by_time[-2].id)
+            if last_mf is not None:
+                sources.append(last_mf)
+
+        num_3d2d = (
+            self._associate_batched(estimator, sources, multiframe, T_WS_prop)
+            if sources
+            else 0
+        )
 
         # RANSAC 3D-2D outlier rejection (Frontend.cpp:575-642)
         self._ransac_3d2d(estimator, multiframe, T_WS_prop)
@@ -224,21 +234,190 @@ class Frontend:
             is_initialized=self.is_initialized,
         )
 
-        # --- match to last frame (Frontend.cpp:199-233) ---
-        by_time = estimator._states_by_time()
-        if len(by_time) >= 2:
-            last_id = by_time[-2].id
-            if last_id not in kf_ids:
-                last_mf = estimator.multiframes.get(last_id)
-                if last_mf is not None:
-                    self._match_to_frame(
-                        estimator, last_mf, multiframe, T_WS_prop, do_triangulate=True
-                    )
-
         # --- stereo matching within the multiframe (Frontend.cpp:238-268) ---
         self._match_stereo(estimator, multiframe, T_WS_prop)
 
         return as_keyframe
+
+    # ------------------------------------------------------------------
+    def _associate_batched(
+        self,
+        estimator: Estimator,
+        sources: List[MultiFrame],
+        frame_b: MultiFrame,
+        T_WS_b: kin.SE3,
+    ) -> int:
+        """3D-2D + 2D-2D association of all source frames against the current
+        frame with ONE kernel launch per phase per camera (the batched form
+        of matchToKeyframes + matchToLastFrame, Frontend.cpp:153-233).
+
+        Conflicts (two sources matching the same current keypoint) are
+        resolved on the host in source order — newest keyframe wins, matching
+        the sequential reference ordering."""
+        cfg = self.cfg
+        K = cfg.max_keypoints
+        P = len(sources)
+        n3d = 0
+        for cam in range(frame_b.num_cameras):
+            fb = frame_b.frames[cam]
+            mask_b = np.asarray(fb.keypoints.mask)
+            uv_b_np = np.asarray(fb.keypoints.uv)
+            free_b = mask_b & (fb.landmark_ids == 0)
+
+            # ---- stack per-source 3D-2D inputs ----
+            desc_a = []
+            sel_a = np.zeros((P, K), bool)
+            hp_rows = np.tile(np.asarray([0.0, 0, 0, 1.0]), (P, K, 1))
+            for p, src in enumerate(sources):
+                fa = src.frames[cam]
+                m_a = np.asarray(fa.keypoints.mask)
+                for i in np.nonzero(fa.landmark_ids != 0)[0]:
+                    lm_id = int(fa.landmark_ids[i])
+                    if not estimator.is_landmark_added(lm_id):
+                        fa.landmark_ids[i] = 0
+                        continue
+                    if m_a[i]:
+                        sel_a[p, i] = True
+                        hp_rows[p, i] = estimator.hp_W[
+                            estimator.landmarks[lm_id].slot
+                        ]
+                desc_a.append(fa.descriptors)
+            desc_a = jnp.stack(desc_a)
+
+            T_CW = kin.inverse(self._frame_T_WC(estimator, T_WS_b, cam))
+            T_CW_b = kin.SE3(
+                r=jnp.tile(T_CW.r[None], (P, 1)), q=jnp.tile(T_CW.q[None], (P, 1))
+            )
+            assign, _gate = kernels.gated_match_pairs(
+                self.rig.specs[cam],
+                estimator.intrinsics[cam],
+                desc_a,
+                jnp.asarray(sel_a),
+                jnp.asarray(hp_rows),
+                T_CW_b,
+                fb.descriptors,
+                jnp.asarray(free_b),
+                fb.keypoints.uv,
+                jnp.asarray(cfg.gate_radius_px),
+                threshold=cfg.matching_threshold,
+            )
+            assign = np.asarray(assign)
+
+            # ---- host conflict resolution, newest source first ----
+            for p, src in enumerate(sources):
+                fa = src.frames[cam]
+                for ia in np.nonzero(assign[p] >= 0)[0]:
+                    ib = int(assign[p, ia])
+                    if not free_b[ib]:
+                        continue  # taken by an earlier (newer) source
+                    lm_id = int(fa.landmark_ids[ia])
+                    if lm_id == 0 or not estimator.is_landmark_added(lm_id):
+                        continue
+                    frame_b.set_landmark_id(cam, ib, lm_id)
+                    estimator.add_observation(
+                        lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
+                        size=fb.keypoint_size(ib),
+                    )
+                    free_b[ib] = False
+                    n3d += 1
+
+            # ---- 2D-2D: one batched plain match over the remaining free ----
+            free_a = np.zeros((P, K), bool)
+            for p, src in enumerate(sources):
+                fa = src.frames[cam]
+                free_a[p] = np.asarray(fa.keypoints.mask) & (fa.landmark_ids == 0)
+            if not free_a.any() or not free_b.any():
+                continue
+            assign2 = np.asarray(
+                kernels.plain_match_pairs(
+                    desc_a,
+                    jnp.asarray(free_a),
+                    fb.descriptors,
+                    jnp.asarray(free_b),
+                    threshold=cfg.matching_threshold,
+                )
+            )
+
+            # gather matched pairs per source for one batched triangulation
+            uv_a_b = np.zeros((P, K, 2))
+            uv_b_b = np.zeros((P, K, 2))
+            pmask = np.zeros((P, K), bool)
+            pair_idx = [[] for _ in range(P)]
+            taken_b = ~free_b
+            for p, src in enumerate(sources):
+                fa = src.frames[cam]
+                uva = np.asarray(fa.keypoints.uv)
+                j = 0
+                for ia in np.nonzero(assign2[p] >= 0)[0]:
+                    ib = int(assign2[p, ia])
+                    if taken_b[ib]:
+                        continue
+                    taken_b[ib] = True  # one landmark per current keypoint
+                    uv_a_b[p, j] = uva[ia]
+                    uv_b_b[p, j] = uv_b_np[ib]
+                    pmask[p, j] = True
+                    pair_idx[p].append((int(ia), ib))
+                    j += 1
+            if not pmask.any():
+                continue
+            T_WC_a_list = [
+                self._frame_T_WC(estimator, src.id, cam) for src in sources
+            ]
+            T_WC_a = kin.SE3(
+                r=jnp.stack([T.r for T in T_WC_a_list]),
+                q=jnp.stack([T.q for T in T_WC_a_list]),
+            )
+            T_WC_b_cur = self._frame_T_WC(estimator, T_WS_b, cam)
+            T_WC_b_b = kin.SE3(
+                r=jnp.tile(T_WC_b_cur.r[None], (P, 1)),
+                q=jnp.tile(T_WC_b_cur.q[None], (P, 1)),
+            )
+            hp_b, valid_b, par_b = kernels.triangulate_pair_batches(
+                self.rig.specs[cam],
+                self.rig.specs[cam],
+                estimator.intrinsics[cam],
+                estimator.intrinsics[cam],
+                T_WC_a,
+                T_WC_b_b,
+                jnp.asarray(uv_a_b),
+                jnp.asarray(uv_b_b),
+                jnp.asarray(pmask),
+            )
+            hp_b = np.asarray(hp_b)
+            ok_b = np.asarray(valid_b)
+            par_np = np.asarray(par_b)
+            for p, src in enumerate(sources):
+                fa = src.frames[cam]
+                uva = np.asarray(fa.keypoints.uv)
+                for j, (ia, ib) in enumerate(pair_idx[p]):
+                    if not ok_b[p, j]:
+                        continue
+                    if frame_b.frames[cam].landmark_ids[ib] != 0:
+                        continue
+                    if fa.landmark_ids[ia] != 0:
+                        continue
+                    w = hp_b[p, j, 3]
+                    lm_id = IdProvider.new_id()
+                    try:
+                        if par_np[p, j] or abs(w) < 1e-6:
+                            estimator.add_landmark(
+                                lm_id, hp_b[p, j], initialized=False
+                            )
+                        else:
+                            estimator.add_landmark(lm_id, hp_b[p, j, :3] / w)
+                    except RuntimeError:
+                        break  # landmark table full
+                    fa.landmark_ids[ia] = lm_id
+                    frame_b.set_landmark_id(cam, ib, lm_id)
+                    estimator.add_observation(
+                        lm_id, src.id, cam, uva[ia], keypoint_idx=ia,
+                        size=fa.keypoint_size(ia),
+                    )
+                    estimator.add_observation(
+                        lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
+                        size=fb.keypoint_size(ib),
+                    )
+        return n3d
 
     # ------------------------------------------------------------------
     def _frame_T_WC(self, estimator, state_or_T, cam: int) -> kin.SE3:
@@ -246,97 +425,6 @@ class Frontend:
         if isinstance(state_or_T, kin.SE3):
             return kin.compose(state_or_T, T_SC)
         return kin.compose(estimator.get_T_WS(state_or_T), T_SC)
-
-    def _match_to_frame(
-        self,
-        estimator: Estimator,
-        frame_a: MultiFrame,
-        frame_b: MultiFrame,
-        T_WS_b: kin.SE3,
-        do_triangulate: bool,
-    ) -> int:
-        """Match frame A (older, in estimator) to frame B (current): 3D-2D for
-        A-keypoints with landmarks, 2D-2D (+triangulation) for the rest.
-        Returns #3D-2D matches accepted."""
-        cfg = self.cfg
-        K = cfg.max_keypoints
-        n3d = 0
-        for cam in range(frame_b.num_cameras):
-            fa, fb = frame_a.frames[cam], frame_b.frames[cam]
-            mask_a = np.asarray(fa.keypoints.mask)
-            mask_b = np.asarray(fb.keypoints.mask)
-            # drop stale landmark associations
-            for i in np.nonzero(fa.landmark_ids != 0)[0]:
-                if not estimator.is_landmark_added(int(fa.landmark_ids[i])):
-                    fa.landmark_ids[i] = 0
-            has_lm = fa.landmark_ids != 0
-            free_b = mask_b & (fb.landmark_ids == 0)
-
-            # ---- 3D-2D: project landmarks into B, gate, match ----
-            a_sel = mask_a & has_lm
-            if a_sel.any():
-                hp_rows = np.tile(np.asarray([0.0, 0, 0, 1.0]), (K, 1))
-                for i in np.nonzero(a_sel)[0]:
-                    hp_rows[i] = estimator.hp_W[
-                        estimator.landmarks[int(fa.landmark_ids[i])].slot
-                    ]
-                T_CW = kin.inverse(self._frame_T_WC(estimator, T_WS_b, cam))
-                uv_pred, proj_ok = kernels.project_hpoints(
-                    self.rig.specs[cam],
-                    estimator.intrinsics[cam],
-                    T_CW,
-                    jnp.asarray(hp_rows),
-                )
-                gate_ok = a_sel & np.asarray(proj_ok)
-                pred = np.full((K, 2), 1e9)
-                pred[gate_ok] = np.asarray(uv_pred)[gate_ok]
-                assign = np.asarray(
-                    kernels.gated_match(
-                        fa.descriptors,
-                        fb.descriptors,
-                        jnp.asarray(gate_ok),
-                        jnp.asarray(free_b),
-                        jnp.asarray(pred),
-                        fb.keypoints.uv,
-                        jnp.asarray(cfg.gate_radius_px),
-                        threshold=cfg.matching_threshold,
-                    )
-                )
-                for ia in np.nonzero(assign >= 0)[0]:
-                    ib = int(assign[ia])
-                    lm_id = int(fa.landmark_ids[ia])
-                    frame_b.set_landmark_id(cam, ib, lm_id)
-                    estimator.add_observation(
-                        lm_id, frame_b.id, cam,
-                        np.asarray(fb.keypoints.uv[ib]), keypoint_idx=ib, size=8.0,
-                    )
-                    free_b[ib] = False
-                    n3d += 1
-
-            # ---- 2D-2D: un-landmarked A keypoints vs free B keypoints ----
-            if do_triangulate:
-                free_a = mask_a & (fa.landmark_ids == 0)
-                if free_a.any() and free_b.any():
-                    assign = np.asarray(
-                        kernels.plain_match(
-                            fa.descriptors,
-                            fb.descriptors,
-                            jnp.asarray(free_a),
-                            jnp.asarray(free_b),
-                            threshold=cfg.matching_threshold,
-                        )
-                    )
-                    matches = [
-                        (int(ia), int(assign[ia])) for ia in np.nonzero(assign >= 0)[0]
-                    ]
-                    if matches:
-                        T_WC_a = self._frame_T_WC(estimator, frame_a.id, cam)
-                        T_WC_b = self._frame_T_WC(estimator, T_WS_b, cam)
-                        self._triangulate_and_add(
-                            estimator, frame_a, frame_b, cam, cam, matches,
-                            T_WC_a, T_WC_b,
-                        )
-        return n3d
 
     def _triangulate_and_add(
         self, estimator, frame_a, frame_b, cam_a, cam_b, matches, T_WC_a, T_WC_b

@@ -101,3 +101,78 @@ def back_project_batch(spec: CameraSpec, intrinsics: jnp.ndarray, uv: jnp.ndarra
     """(K,2) pixels -> (K,3) unit bearings in camera frame."""
     rays = jax.vmap(lambda p: pinhole.back_project(spec, intrinsics, p))(uv)
     return rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# batched-pair variants: one launch for ALL (source-frame, camera) match
+# tasks of a data-association round — host dispatch count is the full-
+# pipeline bottleneck on accelerators (each call pays transfer latency)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "threshold"))
+def gated_match_pairs(
+    spec: CameraSpec,
+    intrinsics: jnp.ndarray,
+    desc_a: jnp.ndarray,  # (P, K, 16) source descriptors per pair
+    mask_a: jnp.ndarray,  # (P, K)
+    hp_rows: jnp.ndarray,  # (P, K, 4) landmark homogeneous points per A row
+    T_CW: kin.SE3,  # batched (P,...) current-frame camera-from-world per pair
+    desc_b: jnp.ndarray,  # (K, 16) current-frame descriptors (shared)
+    mask_b: jnp.ndarray,  # (K,)
+    uv_b: jnp.ndarray,  # (K, 2)
+    gate_radius: jnp.ndarray,
+    threshold: int = 60,
+):
+    """3D-2D gated matching for P source frames against the current frame in
+    ONE program. Returns (assign (P, K), pred_ok (P, K))."""
+
+    def one(desc_a_p, mask_a_p, hp_p, T_CW_p):
+        uv_pred, ok = project_hpoints(spec, intrinsics, T_CW_p, hp_p)
+        gate_ok = mask_a_p & ok
+        pred = jnp.where(gate_ok[:, None], uv_pred, 1e9)
+        assign = gated_match(
+            desc_a_p, desc_b, gate_ok, mask_b, pred, uv_b, gate_radius,
+            threshold=threshold,
+        )
+        return assign, gate_ok
+
+    return jax.vmap(one)(desc_a, mask_a, hp_rows, T_CW)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def plain_match_pairs(
+    desc_a: jnp.ndarray,  # (P, K, 16)
+    mask_a: jnp.ndarray,  # (P, K)
+    desc_b: jnp.ndarray,  # (K, 16)
+    mask_b: jnp.ndarray,  # (K,) free-at-round-start mask (host resolves
+    # conflicts with 3D-2D winners afterwards)
+    threshold: int = 60,
+):
+    """2D-2D matching for P source frames against the current frame in one
+    program. Returns (P, K) assignments."""
+    return jax.vmap(
+        lambda da, ma: plain_match(da, desc_b, ma, mask_b, threshold=threshold)
+    )(desc_a, mask_a)
+
+
+@functools.partial(jax.jit, static_argnames=("spec_a", "spec_b"))
+def triangulate_pair_batches(
+    spec_a: CameraSpec,
+    spec_b: CameraSpec,
+    intr_a: jnp.ndarray,
+    intr_b: jnp.ndarray,
+    T_WC_a: kin.SE3,  # batched (P,...)
+    T_WC_b: kin.SE3,  # batched (P,...)
+    uv_a: jnp.ndarray,  # (P, K, 2)
+    uv_b: jnp.ndarray,  # (P, K, 2)
+    pair_mask: jnp.ndarray,  # (P, K)
+):
+    """Batched triangulation for P frame pairs in one program."""
+
+    def one(Ta, Tb, ua, ub, m):
+        return triangulate_pairs(
+            spec_a, spec_b, intr_a, intr_b, Ta, Tb, ua, ub, m
+        )
+
+    return jax.vmap(one)(T_WC_a, T_WC_b, uv_a, uv_b, pair_mask)
