@@ -76,3 +76,55 @@ def triangulate_fast(
     valid = jnp.where(invertible, valid_mid, valid_par)
     parallel = ~invertible
     return TriangulationResult(hp=hp, valid=valid, parallel=parallel)
+
+
+def refine_triangulation(
+    project_residual,  # fn(hp (4,)) -> (n_res,) stacked reprojection residuals
+    hp0: jnp.ndarray,  # (4,) initial homogeneous point
+    iters: int = 5,
+) -> TriangulationResult:
+    """Small Gauss-Newton refinement of a triangulated point over its
+    observations (the reference ProbabilisticStereoTriangulator's GN with
+    pose-prior Hessian, okvis_frontend/src/ProbabilisticStereoTriangulator.cpp:59-394
+    — poses are held fixed here; their uncertainty enters through the
+    measurement sigmas baked into `project_residual`).
+
+    Optimizes the first three homogeneous coordinates (HomogeneousPoint
+    local parameterization); returns the refined point, a validity flag from
+    the final chi², and parallel=False.
+    """
+    import jax
+
+    def body(_, hp):
+        r = project_residual(hp)
+        J = jax.jacfwd(project_residual)(hp)[:, :3]  # (n, 3)
+        H = J.T @ J + 1e-9 * jnp.eye(3, dtype=hp.dtype)
+        g = J.T @ r
+        # 3x3 solve via adjugate
+        a, b, c = H[0, 0], H[0, 1], H[0, 2]
+        d, e, f = H[1, 1], H[1, 2], H[2, 2]
+        det = a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1.0, det)
+        Hinv = (
+            jnp.asarray(
+                [
+                    [d * f - e * e, c * e - b * f, b * e - c * d],
+                    [c * e - b * f, a * f - c * c, b * c - a * e],
+                    [b * e - c * d, b * c - a * e, a * d - b * b],
+                ]
+            )
+            * inv_det
+        )
+        return hp.at[:3].add(-(Hinv @ g))
+
+    import jax.lax
+
+    hp = jax.lax.fori_loop(0, iters, body, hp0)
+    r = project_residual(hp)
+    chi2 = jnp.sum(r * r)
+    n_res = r.shape[0]
+    return TriangulationResult(
+        hp=hp / jnp.linalg.norm(hp),
+        valid=chi2 < 9.0 * (n_res / 2),
+        parallel=jnp.asarray(False),
+    )

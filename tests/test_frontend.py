@@ -282,3 +282,40 @@ def test_pyramid_detection(rng):
     # coordinates stay in base-image pixels
     uv = np.asarray(kps.uv)[m]
     assert uv[:, 0].max() < 160 and uv[:, 1].max() < 120
+
+
+def test_refine_triangulation(rng):
+    """GN landmark refinement (ProbabilisticStereoTriangulator analog)
+    converges from a coarse initialization to the exact intersection."""
+    from okvis_tpu.frontend.triangulation import refine_triangulation
+    from okvis_tpu.cameras import pinhole as ph
+
+    from okvis_tpu.cameras import CameraSpec
+
+    spec = CameraSpec(752, 480, "radtan")
+    intr = jnp.asarray(
+        [458.654, 457.296, 367.215, 248.375, -0.2834, 0.0739, 2e-4, 1.76e-5]
+    )
+    T_a = kin.SE3(r=jnp.zeros(3), q=kin.quat_identity())
+    T_b = kin.SE3(r=jnp.asarray([0.2, 0.05, 0.0]), q=kin.quat_identity())
+    p_true = jnp.asarray([0.5, -0.3, 5.0])
+    uv_a, _ = ph.project(spec, intr, kin.transform_point(kin.inverse(T_a), p_true))
+    uv_b, _ = ph.project(spec, intr, kin.transform_point(kin.inverse(T_b), p_true))
+
+    def res(hp):
+        rs = []
+        for T, uv in ((T_a, uv_a), (T_b, uv_b)):
+            hp_C = kin.transform_hpoint(kin.inverse(T), hp)
+            u, _ = ph.project_homogeneous(spec, intr, hp_C)
+            rs.append(uv - u)
+        return jnp.concatenate(rs)
+
+    out = refine_triangulation(res, jnp.asarray([0.3, -0.1, 3.5, 1.0]))
+    rec = np.asarray(out.hp[:3] / out.hp[3])
+    np.testing.assert_allclose(rec, np.asarray(p_true), atol=1e-8)
+    assert bool(out.valid)
+    # inconsistent observations -> invalid
+    out_bad = refine_triangulation(
+        lambda hp: res(hp) + jnp.asarray([30.0, 0, -30.0, 0]), jnp.asarray([0.3, -0.1, 3.5, 1.0])
+    )
+    assert not bool(out_bad.valid)
