@@ -49,11 +49,14 @@ class _Accumulator:
 
 
 class Timing:
-    """Process-global registry (ref okvis::timing::Timing singleton)."""
+    """Process-global registry (ref okvis::timing::Timing singleton).
+
+    Disable with OKVIS_TPU_DEACTIVATE_TIMERS=1 (ref compile-time
+    DEACTIVATE_TIMERS switch -> DummyTimer)."""
 
     _lock = threading.Lock()
     _timers: Dict[str, _Accumulator] = {}
-    enabled = True
+    enabled = __import__("os").environ.get("OKVIS_TPU_DEACTIVATE_TIMERS", "0") != "1"
 
     @classmethod
     def add(cls, name: str, seconds: float) -> None:
