@@ -11,6 +11,7 @@ fine-grained on-chip traces.
 from __future__ import annotations
 
 import math
+import os
 import threading
 import time as _time
 from collections import deque
@@ -56,7 +57,7 @@ class Timing:
 
     _lock = threading.Lock()
     _timers: Dict[str, _Accumulator] = {}
-    enabled = __import__("os").environ.get("OKVIS_TPU_DEACTIVATE_TIMERS", "0") != "1"
+    enabled = os.environ.get("OKVIS_TPU_DEACTIVATE_TIMERS", "0") != "1"
 
     @classmethod
     def add(cls, name: str, seconds: float) -> None:
