@@ -200,6 +200,13 @@ class Frontend:
             if sources
             else 0
         )
+        if sources and self.is_initialized and num_3d2d <= cfg.min_3d2d_matches:
+            # ref "Tracking failure" warning (Frontend.cpp:191-193)
+            import logging
+
+            logging.getLogger("okvis_tpu").warning(
+                "Tracking failure. Number of 3d2d-matches: %d", num_3d2d
+            )
 
         # RANSAC 3D-2D outlier rejection (Frontend.cpp:575-642)
         self._ransac_3d2d(estimator, multiframe, T_WS_prop)
