@@ -466,31 +466,12 @@ class Estimator:
         l_mask = np.zeros(K, bool)
         if nl:
             if pre is None:
-                pre = self._preintegrate_fn(
-                    self.imu_params,
-                    jnp.asarray(np.stack([l.ts for l in self.imu_links]), dt),
-                    jnp.asarray(np.stack([l.gyro for l in self.imu_links]), dt),
-                    jnp.asarray(np.stack([l.acc for l in self.imu_links]), dt),
-                    jnp.asarray(np.array([l.t0 for l in self.imu_links]), dt),
-                    jnp.asarray(np.array([l.t1 for l in self.imu_links]), dt),
-                    jnp.asarray(
-                        np.stack(
-                            [self.sb[self.states[l.id_a].slot] for l in self.imu_links]
-                        ),
-                        dt,
-                    ),
-                )
+                pre = self._preintegrate_links(self.imu_links, self.sb)
             for i, l in enumerate(self.imu_links):
                 idx_a[i] = self.states[l.id_a].slot
                 idx_b[i] = self.states[l.id_b].slot
                 l_mask[i] = True
-            if nl == K:
-                pre_full = pre
-            else:
-                pre_full = jax.tree_util.tree_map(
-                    lambda full, new: jnp.concatenate([new[:nl], full[nl:]], axis=0),
-                    self._empty_pre_template(), pre,
-                )
+            pre_full = pre
         else:
             pre_full = self._empty_pre_template()
         links = ImuLinks(
@@ -562,6 +543,36 @@ class Estimator:
             pose_priors=pose_priors,
             sb_priors=sb_priors,
             marg=marg,
+        )
+
+    def _preintegrate_links(self, links, sb_source: np.ndarray):
+        """Batched preintegration of a list of links, PADDED to the static
+        capacity max_imu_links so the jitted vmapped scan never retraces
+        (padding rows use t1 == t0 => identity increments, ignored by masks).
+        sb_source is the (S, 9) table the linearization biases come from
+        (current estimates for optimize; FEJ for marginalization)."""
+        K = self.cfg.max_imu_links
+        P = self.cfg.imu_samples
+        dt = self.dtype
+        nl = len(links)
+        ts = np.zeros((K, P))
+        gy = np.zeros((K, P, 3))
+        ac = np.zeros((K, P, 3))
+        t0 = np.zeros(K)
+        t1 = np.zeros(K)
+        sbr = np.zeros((K, 9))
+        for i, l in enumerate(links):
+            ts[i], gy[i], ac[i] = l.ts, l.gyro, l.acc
+            t0[i], t1[i] = l.t0, l.t1
+            sbr[i] = sb_source[self.states[l.id_a].slot]
+        return self._preintegrate_fn(
+            self.imu_params,
+            jnp.asarray(ts, dt),
+            jnp.asarray(gy, dt),
+            jnp.asarray(ac, dt),
+            jnp.asarray(t0, dt),
+            jnp.asarray(t1, dt),
+            jnp.asarray(sbr, dt),
         )
 
     def _empty_pre_template(self):
@@ -826,66 +837,63 @@ class Estimator:
 
         obs = p.obs
         if absorb_obs:
-            n = len(absorb_obs)
-            obs = obs._replace(
-                state_idx=obs.state_idx.at[:n].set(
-                    jnp.asarray(
-                        [self.states[o.pose_id].slot for o, _ in absorb_obs], jnp.int32
-                    )
-                ),
-                cam_idx=obs.cam_idx.at[:n].set(
-                    jnp.asarray([o.cam_idx for o, _ in absorb_obs], jnp.int32)
-                ),
-                lm_idx=obs.lm_idx.at[:n].set(
-                    jnp.asarray([slot for _, slot in absorb_obs], jnp.int32)
-                ),
-                keypoint=obs.keypoint.at[:n].set(
-                    jnp.asarray(np.stack([o.keypoint for o, _ in absorb_obs]), self.dtype)
-                ),
-                sqrt_info=obs.sqrt_info.at[:n].set(
-                    jnp.asarray([8.0 / o.size for o, _ in absorb_obs], self.dtype)
-                ),
-                mask=obs.mask.at[:n].set(True),
+            O = self.cfg.max_observations
+            o_state = np.zeros(O, np.int32)
+            o_cam = np.zeros(O, np.int32)
+            o_lm = np.zeros(O, np.int32)
+            o_kp = np.zeros((O, 2))
+            o_w = np.ones(O)
+            o_mask = np.zeros(O, bool)
+            for i, (o, slot) in enumerate(absorb_obs):
+                o_state[i] = self.states[o.pose_id].slot
+                o_cam[i] = o.cam_idx
+                o_lm[i] = slot
+                o_kp[i] = o.keypoint
+                o_w[i] = 8.0 / o.size
+                o_mask[i] = True
+            obs = Observations(
+                state_idx=jnp.asarray(o_state),
+                cam_idx=jnp.asarray(o_cam),
+                lm_idx=jnp.asarray(o_lm),
+                keypoint=jnp.asarray(o_kp, self.dtype),
+                sqrt_info=jnp.asarray(o_w, self.dtype),
+                mask=jnp.asarray(o_mask),
             )
 
         links = p.imu_links
         if absorb_links:
             K = len(absorb_links)
-            pre = self._preintegrate_fn(
-                self.imu_params,
-                jnp.asarray(np.stack([l.ts for l in absorb_links]), self.dtype),
-                jnp.asarray(np.stack([l.gyro for l in absorb_links]), self.dtype),
-                jnp.asarray(np.stack([l.acc for l in absorb_links]), self.dtype),
-                jnp.asarray(np.array([l.t0 for l in absorb_links]), self.dtype),
-                jnp.asarray(np.array([l.t1 for l in absorb_links]), self.dtype),
-                jnp.asarray(
-                    np.stack(
-                        [self.fej_sb[self.states[l.id_a].slot] for l in absorb_links]
-                    ),
-                    self.dtype,
-                ),
-            )
-            links = links._replace(
-                pre=jax.tree_util.tree_map(
-                    lambda full, new: full.at[:K].set(new[:K]), links.pre, pre
-                ),
-                idx_a=links.idx_a.at[:K].set(
-                    jnp.asarray([self.states[l.id_a].slot for l in absorb_links], jnp.int32)
-                ),
-                idx_b=links.idx_b.at[:K].set(
-                    jnp.asarray([self.states[l.id_b].slot for l in absorb_links], jnp.int32)
-                ),
-                mask=links.mask.at[:K].set(True),
+            pre = self._preintegrate_links(absorb_links, self.fej_sb)
+            idx_a = np.zeros(self.cfg.max_imu_links, np.int32)
+            idx_b = np.ones(self.cfg.max_imu_links, np.int32)
+            l_mask = np.zeros(self.cfg.max_imu_links, bool)
+            for i, l in enumerate(absorb_links):
+                idx_a[i] = self.states[l.id_a].slot
+                idx_b[i] = self.states[l.id_b].slot
+                l_mask[i] = True
+            links = ImuLinks(
+                pre=pre,
+                idx_a=jnp.asarray(idx_a),
+                idx_b=jnp.asarray(idx_b),
+                mask=jnp.asarray(l_mask),
             )
 
-        sp = p.sb_priors
-        for i, pr in enumerate(absorb_sb_priors[: cfg.max_sb_priors]):
-            sp = sp._replace(
-                state_idx=sp.state_idx.at[i].set(self.states[pr["pose_id"]].slot),
-                sb_meas=sp.sb_meas.at[i].set(jnp.asarray(pr["sb"], self.dtype)),
-                sqrt_info=sp.sqrt_info.at[i].set(jnp.asarray(pr["sqrt_info"], self.dtype)),
-                mask=sp.mask.at[i].set(True),
-            )
+        Ks = cfg.max_sb_priors
+        sp_idx = np.zeros(Ks, np.int32)
+        sp_sb = np.zeros((Ks, 9))
+        sp_W = np.zeros((Ks, 9, 9))
+        sp_m = np.zeros(Ks, bool)
+        for i, pr in enumerate(absorb_sb_priors[:Ks]):
+            sp_idx[i] = self.states[pr["pose_id"]].slot
+            sp_sb[i] = pr["sb"]
+            sp_W[i] = pr["sqrt_info"]
+            sp_m[i] = True
+        sp = SbPriors(
+            state_idx=jnp.asarray(sp_idx),
+            sb_meas=jnp.asarray(sp_sb, self.dtype),
+            sqrt_info=jnp.asarray(sp_W, self.dtype),
+            mask=jnp.asarray(sp_m),
+        )
 
         marg = p.marg._replace(
             H=jnp.asarray(self.marg_H, self.dtype),

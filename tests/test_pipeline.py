@@ -357,3 +357,91 @@ def test_dataflow_call_counts():
     assert counts["opt"] == n_frames, counts
     assert counts["marg"] == n_frames, counts
     assert len(vio.trajectory) == n_frames
+
+
+def test_shutdown_under_load_nonblocking():
+    """testThreading.cpp analog: clean construction/shutdown while
+    measurements stream in non-blocking mode (queues shed, threads join)."""
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig
+
+    params = _make_params()
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    rig.overlaps = np.ones((2, 2), bool)
+    vio = ThreadedVio(params, rig=rig, blocking=False, dtype=jnp.float64)
+
+    stop = threading.Event()
+
+    def feed_imu():
+        t = 0
+        while not stop.is_set():
+            vio.add_imu_measurement(t, np.zeros(3), np.asarray([0, 0, 9.81]))
+            t += 5_000_000
+            time.sleep(0.0005)
+
+    def feed_images():
+        t = 0
+        img = np.zeros((480, 752), np.float32)
+        while not stop.is_set():
+            vio.add_image(t, 0, img)
+            vio.add_image(t, 1, img)
+            t += 100_000_000
+            time.sleep(0.005)
+
+    threads = [threading.Thread(target=feed_imu), threading.Thread(target=feed_images)]
+    for t in threads:
+        t.start()
+    time.sleep(1.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=3)
+    vio.shutdown()  # must not hang
+    for t in vio._threads:
+        assert not t.is_alive()
+
+
+@pytest.mark.slow
+def test_long_soak_capacities_bounded():
+    """70-frame soak: window/landmark/observation capacities stay bounded
+    and no slots leak (SURVEY §5.7 window boundedness)."""
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig, make_landmarks
+
+    params = _make_params()
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    rig.compute_overlaps()
+    traj = simulate_trajectory(duration=7.2, seed=91, motion_scale=0.5)
+    lms = make_landmarks(traj, 260, seed=92, radius=(3.0, 10.0))
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
+    stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
+    install_stub(vio, stub)
+
+    img = np.zeros((480, 752), np.float32)
+    imu_i = 0
+    est = vio.estimator
+    n_frames = 70
+    for fi in range(n_frames):
+        t_ns = int(fi * 0.1 * NS)
+        idx = int(round(fi * 0.1 * 200))
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            vio.add_imu_measurement(int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i])
+            imu_i += 1
+        stub.T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        vio.add_image(t_ns, 0, img)
+        vio.add_image(t_ns, 1, img)
+        vio.wait_idle(timeout=120)
+        # capacity invariants every frame
+        assert est.num_frames() <= est.cfg.num_states
+        assert est.num_landmarks() <= est.cfg.max_landmarks
+        assert len(est.observations) <= est.cfg.max_observations
+        # slot accounting never leaks
+        assert est.num_frames() + len(est._free_state_slots) == est.cfg.num_states
+        assert est.num_landmarks() + len(est._free_lm_slots) == est.cfg.max_landmarks
+    vio.shutdown()
+    assert len(vio.trajectory) >= n_frames - 3
+    # IMU buffer trimmed (not growing unboundedly)
+    assert len(vio._imu_ts) < 400
+    est_ts = np.asarray([s.timestamp_ns for s in vio.trajectory])
+    est_p = np.stack([np.asarray(s.T_WS.r) for s in vio.trajectory])
+    ate = ate_rmse(est_ts, est_p, (traj.ts * NS).astype(np.int64), traj.r)
+    assert ate is not None and ate < 0.1, f"soak ATE {ate}"
