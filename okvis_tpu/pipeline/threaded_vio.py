@@ -427,7 +427,13 @@ class ThreadedVio:
                         ts_ns,
                         {i: removed_hp[i] for i in removed if i in removed_hp},
                     )
-            self._trim_imu(epoch0 + int(est._states_by_time()[0].timestamp * NS))
+            # IMU links own their sample copies, so the buffer only serves
+            # new-frame slices and repropagation — trim to a margin behind
+            # the newest state (ref deleteImuMeasurements semantics,
+            # ThreadedKFVio.cpp:756-772)
+            self._trim_imu(
+                epoch0 + int(est._states_by_time()[-1].timestamp * NS) - NS // 2
+            )
 
             result = StateEstimate(
                 timestamp_ns=ts_ns,
