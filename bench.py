@@ -25,6 +25,8 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# full-f32 matmuls: TPU's default bf16 destroys BA conditioning
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def main():

@@ -107,6 +107,10 @@ class Estimator:
         cfg: Optional[WindowConfig] = None,
         dtype=jnp.float64,
     ):
+        # TPU matmuls default to bf16 inputs — fatal for normal equations
+        # and IMU covariance propagation (measured: 12x worse ATE). BA math
+        # must run in full f32.
+        jax.config.update("jax_default_matmul_precision", "highest")
         self.rig = rig
         self.imu_params = imu_params
         self.num_keyframes = num_keyframes
