@@ -244,3 +244,27 @@ def test_saturation_inflates_covariance(sim, params):
     gyro_sat[10] = np.array([10.0, 0, 0])  # beyond g_max=7.8
     pre_sat = preintegrate(params, jnp.asarray(ts), jnp.asarray(gyro_sat), jnp.asarray(acc), t0, t1, jnp.zeros(9))
     assert float(jnp.trace(pre_sat.P_delta[3:6, 3:6])) > 10 * float(jnp.trace(pre.P_delta[3:6, 3:6]))
+
+
+def test_rk4_agrees_with_trapezoid(sim, params):
+    """RK4 alternative integrator (ode.hpp parity) cross-checks the
+    production trapezoidal propagation."""
+    from okvis_tpu.imu.ode import propagate_rk4
+
+    ts, gyro, acc, states = sim
+    T0 = kin.SE3(r=jnp.zeros(3), q=kin.quat_identity())
+    sb0 = jnp.zeros(9)
+    args = (
+        params, T0, sb0, jnp.asarray(ts), jnp.asarray(gyro), jnp.asarray(acc),
+        jnp.asarray(0.0), jnp.asarray(float(ts[-1])),
+    )
+    T_tr, sb_tr = propagate(*args)
+    T_rk, sb_rk = propagate_rk4(*args)
+    np.testing.assert_allclose(np.asarray(T_rk.r), np.asarray(T_tr.r), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(sb_rk[:3]), np.asarray(sb_tr[:3]), atol=3e-3)
+    dq = kin.quat_multiply(kin.quat_conjugate(T_rk.q), T_tr.q)
+    assert abs(float(dq[3])) > 1 - 1e-5
+    # RK4 should be at least as close to fine-integration ground truth
+    r_gt, q_gt, v_gt = states[round(ts[-1], 9)]
+    err_rk = np.linalg.norm(np.asarray(T_rk.r) - r_gt)
+    assert err_rk < 5e-3
