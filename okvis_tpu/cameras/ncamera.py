@@ -83,10 +83,9 @@ class NCameraSystem:
                 uv_o, flags = proj(rays_o)
                 ok = flags == pinhole.STATUS_OK
                 # verification ray consistency (guards distortion-model artifacts)
-                ver = bp_other = jax.vmap(
+                ver = jax.vmap(
                     lambda p: pinhole.back_project(other, self.intrinsics[seen_by], p)
                 )(uv_o)
-                del bp_other
                 a = rays_o / jnp.linalg.norm(rays_o, axis=-1, keepdims=True)
                 b = ver / jnp.linalg.norm(ver, axis=-1, keepdims=True)
                 ok = ok & (jnp.abs(jnp.sum(a * b, axis=-1) - 1.0) < 1e-6)

@@ -153,6 +153,12 @@ class Estimator:
         self.fej_r_WS = self.r_WS.copy()
         self.fej_q_WS = self.q_WS.copy()
         self.fej_sb = self.sb.copy()
+        # extrinsics FEJ: frozen at the first marginalization when online
+        # calibration is active (otherwise the ext dims are masked out of
+        # the prior and the point is irrelevant)
+        self.fej_r_SC = self.r_SC.copy()
+        self.fej_q_SC = self.q_SC.copy()
+        self.fej_ext_frozen = False
         D = self.cfg.dense_dim
         self.marg_H = np.zeros((D, D))
         self.marg_b0 = np.zeros(D)
@@ -532,8 +538,8 @@ class Estimator:
             r_WS_lin=jnp.asarray(self.fej_r_WS, dt),
             q_WS_lin=jnp.asarray(self.fej_q_WS, dt),
             sb_lin=jnp.asarray(self.fej_sb, dt),
-            r_SC_lin=jnp.asarray(self.r_SC, dt),
-            q_SC_lin=jnp.asarray(self.q_SC, dt),
+            r_SC_lin=jnp.asarray(self.fej_r_SC, dt),
+            q_SC_lin=jnp.asarray(self.fej_q_SC, dt),
             valid=jnp.asarray(self.marg_valid),
         )
 
@@ -744,6 +750,11 @@ class Estimator:
         for slot in marg_lm_slots:
             marg_lm_mask[slot] = True
 
+        if self.cfg.estimate_extrinsics and not self.fej_ext_frozen:
+            self.fej_r_SC = self.r_SC.copy()
+            self.fej_q_SC = self.q_SC.copy()
+            self.fej_ext_frozen = True
+
         any_marg = marg_dense.any() or marg_lm_mask.any()
         if any_marg and (absorb_links or absorb_obs or absorb_sb_priors or self.marg_valid):
             problem = self._build_marg_problem(
@@ -831,8 +842,8 @@ class Estimator:
             r_WS=jnp.asarray(self.fej_r_WS, self.dtype),
             q_WS=jnp.asarray(self.fej_q_WS, self.dtype),
             speed_and_bias=jnp.asarray(self.fej_sb, self.dtype),
-            r_SC=jnp.asarray(self.r_SC, self.dtype),
-            q_SC=jnp.asarray(self.q_SC, self.dtype),
+            r_SC=jnp.asarray(self.fej_r_SC, self.dtype),
+            q_SC=jnp.asarray(self.fej_q_SC, self.dtype),
             hp_W=jnp.asarray(self.hp_W, self.dtype),
         )
         state_mask = np.zeros(cfg.num_states, bool)
@@ -906,8 +917,8 @@ class Estimator:
             r_WS_lin=jnp.asarray(self.fej_r_WS, self.dtype),
             q_WS_lin=jnp.asarray(self.fej_q_WS, self.dtype),
             sb_lin=jnp.asarray(self.fej_sb, self.dtype),
-            r_SC_lin=jnp.asarray(self.r_SC, self.dtype),
-            q_SC_lin=jnp.asarray(self.q_SC, self.dtype),
+            r_SC_lin=jnp.asarray(self.fej_r_SC, self.dtype),
+            q_SC_lin=jnp.asarray(self.fej_q_SC, self.dtype),
             valid=jnp.asarray(self.marg_valid),
         )
 
@@ -979,8 +990,8 @@ class Estimator:
         "states", "landmarks", "_lm_slot_to_id", "_free_state_slots",
         "_free_lm_slots", "observations", "imu_links", "pose_priors",
         "sb_priors", "r_WS", "q_WS", "sb", "hp_W", "r_SC", "q_SC",
-        "fej_r_WS", "fej_q_WS", "fej_sb", "marg_H", "marg_b0", "marg_c0",
-        "marg_valid",
+        "fej_r_WS", "fej_q_WS", "fej_sb", "fej_r_SC", "fej_q_SC",
+        "fej_ext_frozen", "marg_H", "marg_b0", "marg_c0", "marg_valid",
     )
 
     def save_checkpoint(self, path: str) -> None:

@@ -106,14 +106,15 @@ def detect_keypoints(
     mask, okvis_cv/include/okvis/cameras/CameraBase.hpp isMasked).
     """
     H, W = img.shape
-    score = harris_response(img)
-    # border mask
+    score_raw = harris_response(img)
+    # border mask (selection only — subpixel refinement reads score_raw so a
+    # detection at the mask edge never sees the -inf sentinel)
     ys = jnp.arange(H)[:, None]
     xs = jnp.arange(W)[None, :]
     inb = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
     if mask is not None:
         inb = inb & mask
-    score = jnp.where(inb, score, -jnp.inf)
+    score = jnp.where(inb, score_raw, -jnp.inf)
     sup = nms(score, nms_radius)
 
     flat = sup.ravel()
@@ -121,15 +122,15 @@ def detect_keypoints(
     yy = (idx // W).astype(jnp.float32)
     xx = (idx % W).astype(jnp.float32)
 
-    # subpixel quadratic refinement on the raw (un-suppressed) response
+    # subpixel quadratic refinement on the raw (un-masked) response
     def refine(y, x):
         yi = jnp.clip(y.astype(jnp.int32), 1, H - 2)
         xi = jnp.clip(x.astype(jnp.int32), 1, W - 2)
-        c = score[yi, xi]
-        dx = 0.5 * (score[yi, xi + 1] - score[yi, xi - 1])
-        dy = 0.5 * (score[yi + 1, xi] - score[yi - 1, xi])
-        dxx = score[yi, xi + 1] + score[yi, xi - 1] - 2 * c
-        dyy = score[yi + 1, xi] + score[yi - 1, xi] - 2 * c
+        c = score_raw[yi, xi]
+        dx = 0.5 * (score_raw[yi, xi + 1] - score_raw[yi, xi - 1])
+        dy = 0.5 * (score_raw[yi + 1, xi] - score_raw[yi - 1, xi])
+        dxx = score_raw[yi, xi + 1] + score_raw[yi, xi - 1] - 2 * c
+        dyy = score_raw[yi + 1, xi] + score_raw[yi - 1, xi] - 2 * c
         ox = jnp.where(jnp.abs(dxx) > 1e-6, -dx / dxx, 0.0)
         oy = jnp.where(jnp.abs(dyy) > 1e-6, -dy / dyy, 0.0)
         return jnp.clip(ox, -0.5, 0.5), jnp.clip(oy, -0.5, 0.5)

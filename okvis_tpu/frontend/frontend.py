@@ -320,11 +320,12 @@ class Frontend:
                     lm_id = int(fa.landmark_ids[ia])
                     if lm_id == 0 or not estimator.is_landmark_added(lm_id):
                         continue
-                    frame_b.set_landmark_id(cam, ib, lm_id)
-                    estimator.add_observation(
+                    if not estimator.add_observation(
                         lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
                         size=fb.keypoint_size(ib),
-                    )
+                    ):
+                        continue  # observation table full: keep bookkeeping consistent
+                    frame_b.set_landmark_id(cam, ib, lm_id)
                     free_b[ib] = False
                     n3d += 1
 
@@ -414,16 +415,21 @@ class Frontend:
                             estimator.add_landmark(lm_id, hp_b[p, j, :3] / w)
                     except RuntimeError:
                         break  # landmark table full
-                    fa.landmark_ids[ia] = lm_id
-                    frame_b.set_landmark_id(cam, ib, lm_id)
-                    estimator.add_observation(
+                    ok1 = estimator.add_observation(
                         lm_id, src.id, cam, uva[ia], keypoint_idx=ia,
                         size=fa.keypoint_size(ia),
                     )
-                    estimator.add_observation(
+                    ok2 = ok1 and estimator.add_observation(
                         lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
                         size=fb.keypoint_size(ib),
                     )
+                    if not ok2:
+                        # observation table full: roll back the half-added
+                        # landmark so bookkeeping matches the factor graph
+                        estimator._remove_landmark(lm_id)
+                        break
+                    fa.landmark_ids[ia] = lm_id
+                    frame_b.set_landmark_id(cam, ib, lm_id)
         return n3d
 
     # ------------------------------------------------------------------
@@ -479,16 +485,19 @@ class Frontend:
                     estimator.add_landmark(lm_id, hp[j, :3] / w)
             except RuntimeError:
                 break  # landmark table full
-            frame_a.set_landmark_id(cam_a, ia, lm_id)
-            frame_b.set_landmark_id(cam_b, ib, lm_id)
-            estimator.add_observation(
+            ok1 = estimator.add_observation(
                 lm_id, frame_a.id, cam_a, uva_np[ia], keypoint_idx=ia,
                 size=fa.keypoint_size(ia),
             )
-            estimator.add_observation(
+            ok2 = ok1 and estimator.add_observation(
                 lm_id, frame_b.id, cam_b, uvb_np[ib], keypoint_idx=ib,
                 size=fb.keypoint_size(ib),
             )
+            if not ok2:
+                estimator._remove_landmark(lm_id)
+                break
+            frame_a.set_landmark_id(cam_a, ia, lm_id)
+            frame_b.set_landmark_id(cam_b, ib, lm_id)
             added += 1
         return added
 
@@ -536,7 +545,6 @@ class Frontend:
             f = multiframe.frames[cam]
             sel = np.zeros(K, bool)
             pts = np.zeros((K, 3))
-            kp_rows = []
             for k in np.nonzero(f.landmark_ids != 0)[0]:
                 lm_id = int(f.landmark_ids[k])
                 if not estimator.is_landmark_added(lm_id):
@@ -546,7 +554,6 @@ class Frontend:
                     continue
                 sel[k] = True
                 pts[k] = hp[:3] / hp[3]
-                kp_rows.append(k)
             if sel.sum() < 8:
                 continue
             bear = kernels.back_project_batch(

@@ -49,12 +49,7 @@ def problem_specs(cfg: WindowConfig, axis: str = "map") -> BaProblem:
     their leading axis, everything else replicated."""
     rep = P()
     sh = P(axis)
-
-    def rep_tree(tree):
-        return jax.tree_util.tree_map(lambda _: rep, tree)
-
-    import jax.tree_util as jtu
-
+    jtu = jax.tree_util
     p = jtu.tree_map(lambda _: rep, _template(cfg))
     # states: hp_W sharded
     p = p._replace(states=p.states._replace(hp_W=sh))

@@ -143,6 +143,7 @@ class ThreadedVio:
         (ThreadedKFVio.cpp:198-204)."""
         if timestamp_ns < self._last_added_ns - 1_000_000:
             return False
+        self._last_added_ns = max(self._last_added_ns, timestamp_ns)
         q = self.camera_queues[cam_idx]
         item = (timestamp_ns, cam_idx, image)
         self._images_fed += 1
@@ -343,6 +344,10 @@ class ThreadedVio:
             if not self.imu_synchronizer.wait_for_up_to_date_imu_data(
                 group["timestamp_ns"] + IMU_OVERLAP_NS, timeout=5.0
             ):
+                # dropped before reaching the processing stage: balance the
+                # quiescence counters so wait_idle doesn't spin forever
+                self._frames_enqueued -= 1
+                self._images_consumed += 1
                 continue
             # predicted pose for gravity-aligned extraction
             last = self._last_optimized
@@ -356,7 +361,9 @@ class ThreadedVio:
                 frames=frames,
             )
             mf.timestamp_ns = group["timestamp_ns"]
-            self._images_consumed += len(group["images"])
+            # only the group-completing image is still unaccounted (the
+            # earlier ones were counted when their add_frame returned None)
+            self._images_consumed += 1
             self.keypoint_queue.push_blocking_if_full(mf, 1)
 
     def _processing_loop(self) -> None:
@@ -417,12 +424,16 @@ class ThreadedVio:
                 est.optimize(max_iterations=iters)
                 self._last_opt_duration = _time.perf_counter() - _t0
             with Timer("3.2 marginalization"):
-                removed_hp = {
-                    lm_id: est.get_landmark(lm_id)
-                    for lm_id in list(est.landmarks.keys())
-                }
+                removed_hp = (
+                    {
+                        lm_id: est.get_landmark(lm_id)
+                        for lm_id in list(est.landmarks.keys())
+                    }
+                    if self.transferred_landmarks_callback
+                    else None
+                )
                 removed = est.apply_marginalization_strategy()
-                if removed and self.transferred_landmarks_callback:
+                if removed and removed_hp is not None:
                     self.transferred_landmarks_callback(
                         ts_ns,
                         {i: removed_hp[i] for i in removed if i in removed_hp},

@@ -319,3 +319,14 @@ def test_refine_triangulation(rng):
         lambda hp: res(hp) + jnp.asarray([30.0, 0, -30.0, 0]), jnp.asarray([0.3, -0.1, 3.5, 1.0])
     )
     assert not bool(out_bad.valid)
+
+
+def test_no_nan_keypoints_at_border(rng):
+    """Regression: a detection exactly on the border-mask edge must not get
+    NaN subpixel coordinates (refinement reads the raw response)."""
+    img = np.full((100, 140), 100.0, np.float32)
+    img[40:, 20:] += 80.0  # strong corner exactly at x=20 == border
+    kps = detect_keypoints(jnp.asarray(img), threshold=5.0, max_keypoints=16, border=20)
+    uv = np.asarray(kps.uv)[np.asarray(kps.mask)]
+    assert len(uv) > 0
+    assert np.isfinite(uv).all(), uv
