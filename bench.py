@@ -25,8 +25,10 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-# full-f32 matmuls: TPU's default bf16 destroys BA conditioning
-jax.config.update("jax_default_matmul_precision", "highest")
+# 'high' (3-pass bf16 ~ f32 quality) matmuls: the TPU default single-pass
+# bf16 destroys BA conditioning (12x worse ATE); 'high' matches 'highest'
+# ATE on the full-pipeline study at +29% throughput
+jax.config.update("jax_default_matmul_precision", "high")
 
 
 def main():
