@@ -167,6 +167,28 @@ class Estimator:
 
         self._jit_cache: Dict[str, object] = {}
 
+    def add_extrinsics_prior(
+        self, sigma_translation: float, sigma_orientation: float
+    ) -> None:
+        """Absolute extrinsics prior for online calibration (ref PoseError on
+        T_SC with sigma_absolute_* when estimating extrinsics,
+        Estimator.cpp:287-307). Expressed through the marginal-prior
+        mechanism: information on the extrinsic dims around the initial
+        T_SC linearization points — mathematically identical to the
+        reference's quadratic PoseError."""
+        assert self.cfg.estimate_extrinsics, "enable estimate_extrinsics first"
+        S, C = self.cfg.num_states, self.cfg.num_cameras
+        info = np.concatenate(
+            [np.full(3, 1.0 / sigma_translation**2), np.full(3, 1.0 / sigma_orientation**2)]
+        )
+        for c in range(C):
+            i0 = S * 15 + c * 6
+            self.marg_H[i0 : i0 + 6, i0 : i0 + 6] += np.diag(info)
+        self.fej_r_SC = self.r_SC.copy()
+        self.fej_q_SC = self.q_SC.copy()
+        self.fej_ext_frozen = True
+        self.marg_valid = True
+
     # ------------------------------------------------------------------
     # jitted device programs (built lazily, one per config)
     # ------------------------------------------------------------------

@@ -63,13 +63,35 @@ class ThreadedVio:
         self.params = params
         self.rig = rig or build_rig(params)
         self.imu_params = build_imu_params(params, dtype=dtype)
+        # online extrinsics calibration when the config provides absolute
+        # extrinsic sigmas (ref Estimator.cpp:287-307; 0.0 = fixed)
+        sig_t = params.camera_params.sigma_absolute_translation
+        sig_r = params.camera_params.sigma_absolute_orientation
+        online_calib = sig_t > 1e-8 and sig_r > 1e-8
+        est_cfg = None
+        if online_calib:
+            import dataclasses as _dc
+
+            S = params.optimization.num_keyframes + params.optimization.num_imu_frames + 1
+            from okvis_tpu.solver import WindowConfig as _WC
+
+            est_cfg = _WC(
+                num_states=S,
+                num_cameras=self.rig.num_cameras,
+                camera_specs=tuple(self.rig.specs),
+                max_imu_links=S - 1,
+                estimate_extrinsics=True,
+            )
         self.estimator = Estimator(
             self.rig,
             self.imu_params,
             num_keyframes=params.optimization.num_keyframes,
             num_imu_frames=params.optimization.num_imu_frames,
+            cfg=est_cfg,
             dtype=dtype,
         )
+        if online_calib:
+            self.estimator.add_extrinsics_prior(sig_t, sig_r)
         self.frontend = Frontend(
             self.rig,
             FrontendConfig(

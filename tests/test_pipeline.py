@@ -450,3 +450,61 @@ def test_long_soak_capacities_bounded():
     est_p = np.stack([np.asarray(s.T_WS.r) for s in vio.trajectory])
     ate = ate_rmse(est_ts, est_p, (traj.ts * NS).astype(np.int64), traj.r)
     assert ate is not None and ate < 0.1, f"soak ATE {ate}"
+
+
+@pytest.mark.slow
+def test_online_extrinsics_calibration_pipeline():
+    """BASELINE.json config 4 at pipeline level: the config's
+    sigma_absolute_* enable T_SC estimation; a perturbed rig converges back
+    toward the true inter-camera transform during tracking."""
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig, make_landmarks
+
+    params = _make_params()
+    params.camera_params.sigma_absolute_translation = 0.05
+    params.camera_params.sigma_absolute_orientation = 0.02
+
+    specs, T_SC_true, intrinsics = euroc_stereo_rig()
+    # the vio gets a PERTURBED rig; observations come from the true one
+    d = jnp.asarray([[0.008, -0.005, 0.006, 0.004, -0.006, 0.005],
+                     [-0.006, 0.007, -0.004, -0.005, 0.004, -0.006]])
+    T_SC_bad = kin.oplus(T_SC_true, d)
+    rig_bad = NCameraSystem(specs=tuple(specs), T_SC=T_SC_bad, intrinsics=intrinsics)
+    rig_bad.overlaps = np.ones((2, 2), bool)
+    rig_true = NCameraSystem(specs=tuple(specs), T_SC=T_SC_true, intrinsics=intrinsics)
+
+    traj = simulate_trajectory(duration=3.0, seed=71, motion_scale=0.5)
+    lms = make_landmarks(traj, 220, seed=72, radius=(3.0, 9.0))
+    vio = ThreadedVio(params, rig=rig_bad, blocking=True, dtype=jnp.float64)
+    assert vio.estimator.cfg.estimate_extrinsics
+    stub = StubDetector(rig_true, lms, max_kp=params.optimization.max_num_keypoints)
+    install_stub(vio, stub)
+
+    def rel(r_SC, q_SC):
+        T0 = kin.SE3(r=r_SC[0], q=q_SC[0])
+        T1 = kin.SE3(r=r_SC[1], q=q_SC[1])
+        return kin.compose(kin.inverse(T0), T1)
+
+    rel_true = rel(T_SC_true.r, T_SC_true.q)
+    err0 = np.abs(np.asarray(kin.minus(rel_true, rel(T_SC_bad.r, T_SC_bad.q)))).max()
+
+    img = np.zeros((480, 752), np.float32)
+    imu_i = 0
+    for fi in range(28):
+        t_ns = int(fi * 0.1 * NS)
+        idx = int(round(fi * 0.1 * 200))
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            vio.add_imu_measurement(int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i])
+            imu_i += 1
+        stub.T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        vio.add_image(t_ns, 0, img)
+        vio.add_image(t_ns, 1, img)
+        vio.wait_idle(timeout=120)
+    vio.shutdown()
+
+    est = vio.estimator
+    err1 = np.abs(
+        np.asarray(
+            kin.minus(rel_true, rel(jnp.asarray(est.r_SC), jnp.asarray(est.q_SC)))
+        )
+    ).max()
+    assert err1 < 0.5 * err0, f"online calibration did not improve: {err0} -> {err1}"
