@@ -106,11 +106,13 @@ class Estimator:
         num_imu_frames: int = 3,
         cfg: Optional[WindowConfig] = None,
         dtype=jnp.float64,
+        estimate_extrinsics: bool = False,
     ):
-        # TPU matmuls default to single-pass bf16 inputs — fatal for normal
-        # equations and IMU covariance propagation (measured: 12x worse ATE).
-        # 'high' (3-pass bf16) matches full-f32 ATE at +29% throughput.
-        jax.config.update("jax_default_matmul_precision", "high")
+        # NOTE (TPU): run with jax_default_matmul_precision='high' or
+        # 'highest' — the default single-pass bf16 matmuls destroy BA
+        # conditioning (measured 12x worse ATE). The application entry points
+        # (ThreadedVio, bench.py, __graft_entry__) set this; library users
+        # embedding the estimator directly must do the same.
         self.rig = rig
         self.imu_params = imu_params
         self.num_keyframes = num_keyframes
@@ -124,6 +126,7 @@ class Estimator:
             max_imu_links=S - 1,
             max_pose_priors=2,
             max_sb_priors=2,
+            estimate_extrinsics=estimate_extrinsics,
         )
         self.intrinsics = [jnp.asarray(i, dtype=dtype) for i in rig.intrinsics]
 

@@ -157,6 +157,7 @@ def detect_keypoints_pyramid(
     nms_radius: int = 4,
     border: int = 20,
     octaves: int = 2,
+    mask: jnp.ndarray = None,
 ) -> Tuple[Keypoints, jnp.ndarray]:
     """Scale-space detection over `octaves`+1 pyramid levels
     (ref brisk::ScaleSpaceFeatureDetector with octaves>0; the detection_options
@@ -168,8 +169,12 @@ def detect_keypoints_pyramid(
     observation weighting information = 64/size²."""
     BASE_SIZE = 8.0
     levels = [img]
+    masks = [mask]
     for _ in range(octaves):
         levels.append(_downsample2(levels[-1]))
+        masks.append(
+            None if masks[-1] is None else masks[-1][::2, ::2]
+        )
 
     all_uv, all_score, all_mask, all_size = [], [], [], []
     for o, im in enumerate(levels):
@@ -179,6 +184,7 @@ def detect_keypoints_pyramid(
             max_keypoints=max_keypoints,
             nms_radius=nms_radius,
             border=max(4, border // (2**o)),
+            mask=masks[o],
         )
         scale = float(2**o)
         all_uv.append(kps.uv * scale + (scale - 1.0) / 2.0)
@@ -187,12 +193,22 @@ def detect_keypoints_pyramid(
         all_size.append(jnp.full((max_keypoints,), BASE_SIZE * scale))
     uv = jnp.concatenate(all_uv)
     score = jnp.concatenate(all_score)
-    mask = jnp.concatenate(all_mask)
+    valid = jnp.concatenate(all_mask)
     size = jnp.concatenate(all_size)
+    # cross-scale suppression: drop any detection with a strictly stronger
+    # one within nms_radius (base-image pixels) at ANY level
+    d2 = jnp.sum((uv[:, None, :] - uv[None, :, :]) ** 2, axis=-1)
+    neg_all = jnp.where(valid, score, -jnp.inf)
+    stronger = (
+        (neg_all[None, :] > neg_all[:, None])
+        & (d2 < float(nms_radius) ** 2)
+        & valid[None, :]
+    )
+    valid = valid & ~jnp.any(stronger, axis=1)
     # global strongest max_keypoints
-    neg = jnp.where(mask, score, -jnp.inf)
+    neg = jnp.where(valid, score, -jnp.inf)
     vals, idx = jax.lax.top_k(neg, max_keypoints)
     return (
-        Keypoints(uv=uv[idx], score=score[idx], mask=mask[idx] & jnp.isfinite(vals)),
+        Keypoints(uv=uv[idx], score=score[idx], mask=valid[idx] & jnp.isfinite(vals)),
         size[idx],
     )

@@ -54,6 +54,7 @@ class FrontendConfig:
     num_matching_keyframes: int = 3  # match against last 3 KFs (Frontend.cpp:153)
     ransac_threshold_px2: float = 9.0
     min_3d2d_matches: int = 5  # tracking-failure warning level (Frontend.cpp:191)
+    detection_masks: tuple = None  # optional per-camera (H, W) bool masks
 
 
 class Frontend:
@@ -76,6 +77,11 @@ class Frontend:
     ) -> FrameData:
         """Detection + gravity-aligned description (Frontend.cpp:92-114)."""
         sizes = None
+        cam_mask = (
+            self.cfg.detection_masks[cam_idx]
+            if self.cfg.detection_masks is not None
+            else None
+        )
         if self.cfg.detection_octaves > 0:
             from .detection import detect_keypoints_pyramid
 
@@ -84,6 +90,7 @@ class Frontend:
                 threshold=self.cfg.detection_threshold,
                 max_keypoints=self.cfg.max_keypoints,
                 octaves=self.cfg.detection_octaves,
+                mask=cam_mask,
             )
             sizes = np.asarray(sizes_j)
         else:
@@ -91,6 +98,7 @@ class Frontend:
                 image,
                 threshold=self.cfg.detection_threshold,
                 max_keypoints=self.cfg.max_keypoints,
+                mask=cam_mask,
             )
         angle = None
         if T_WC is not None:
@@ -115,8 +123,8 @@ class Frontend:
         from .brisk import detect_and_describe_batch
 
         C = len(images)
-        if self.cfg.detection_octaves > 0:
-            # scale-space path: per-camera pyramid detection (not yet batched)
+        if self.cfg.detection_octaves > 0 or self.cfg.detection_masks is not None:
+            # scale-space / masked path: per-camera detection (not yet batched)
             out = []
             for c in range(C):
                 T_WC = (
@@ -180,20 +188,17 @@ class Frontend:
             for s in estimator._states_by_time()
             if s.is_keyframe and s.id != multiframe.id
         ][-cfg.num_matching_keyframes:]
-        # source frames: recent keyframes (newest first) + the last frame —
-        # all matched against the current frame in batched kernel launches
-        # (one gated-match / plain-match / triangulation program per camera
-        # instead of one per (source, camera) pair)
+        # keyframe sources (newest first), matched in batched kernel
+        # launches — one gated-match / plain-match / triangulation program
+        # per camera instead of one per (source, camera) pair. The last
+        # frame is matched AFTER the keyframe decision (below), and only
+        # keyframe matches feed num3dMatches — reference ordering,
+        # Frontend.cpp:153-233.
         sources: List[MultiFrame] = []
         for kf_id in reversed(kf_ids):
             kf_mf = estimator.multiframes.get(kf_id)
             if kf_mf is not None:
                 sources.append(kf_mf)
-        by_time = estimator._states_by_time()
-        if len(by_time) >= 2 and by_time[-2].id not in kf_ids:
-            last_mf = estimator.multiframes.get(by_time[-2].id)
-            if last_mf is not None:
-                sources.append(last_mf)
 
         num_3d2d = (
             self._associate_batched(estimator, sources, multiframe, T_WS_prop)
@@ -241,6 +246,16 @@ class Frontend:
             is_initialized=self.is_initialized,
         )
 
+        # --- match to last frame (after the keyframe decision,
+        # Frontend.cpp:199-233) ---
+        by_time = estimator._states_by_time()
+        if len(by_time) >= 2 and by_time[-2].id not in kf_ids:
+            last_mf = estimator.multiframes.get(by_time[-2].id)
+            if last_mf is not None:
+                self._associate_batched(
+                    estimator, [last_mf], multiframe, T_WS_prop
+                )
+
         # --- stereo matching within the multiframe (Frontend.cpp:238-268) ---
         self._match_stereo(estimator, multiframe, T_WS_prop)
 
@@ -259,8 +274,11 @@ class Frontend:
         of matchToKeyframes + matchToLastFrame, Frontend.cpp:153-233).
 
         Conflicts (two sources matching the same current keypoint) are
-        resolved on the host in source order — newest keyframe wins, matching
-        the sequential reference ordering."""
+        resolved on the host in source order — newest keyframe wins. Unlike
+        the sequential per-source path, a losing source's match is dropped
+        rather than re-matched to its next-best keypoint (rare under the
+        gate radius; a second batched round could recover these — round-2
+        note)."""
         cfg = self.cfg
         K = cfg.max_keypoints
         P = len(sources)

@@ -63,31 +63,22 @@ class ThreadedVio:
         self.params = params
         self.rig = rig or build_rig(params)
         self.imu_params = build_imu_params(params, dtype=dtype)
+        # 'high' (3-pass bf16 ~ f32 quality) matmuls: the TPU default
+        # single-pass bf16 destroys BA conditioning (12x worse ATE)
+        import jax as _jax
+
+        _jax.config.update("jax_default_matmul_precision", "high")
         # online extrinsics calibration when the config provides absolute
         # extrinsic sigmas (ref Estimator.cpp:287-307; 0.0 = fixed)
         sig_t = params.camera_params.sigma_absolute_translation
         sig_r = params.camera_params.sigma_absolute_orientation
         online_calib = sig_t > 1e-8 and sig_r > 1e-8
-        est_cfg = None
-        if online_calib:
-            import dataclasses as _dc
-
-            S = params.optimization.num_keyframes + params.optimization.num_imu_frames + 1
-            from okvis_tpu.solver import WindowConfig as _WC
-
-            est_cfg = _WC(
-                num_states=S,
-                num_cameras=self.rig.num_cameras,
-                camera_specs=tuple(self.rig.specs),
-                max_imu_links=S - 1,
-                estimate_extrinsics=True,
-            )
         self.estimator = Estimator(
             self.rig,
             self.imu_params,
             num_keyframes=params.optimization.num_keyframes,
             num_imu_frames=params.optimization.num_imu_frames,
-            cfg=est_cfg,
+            estimate_extrinsics=online_calib,
             dtype=dtype,
         )
         if online_calib:
@@ -161,11 +152,14 @@ class ThreadedVio:
     # VioInterface inputs
     # ------------------------------------------------------------------
     def add_image(self, timestamp_ns: int, cam_idx: int, image: np.ndarray) -> bool:
-        """Drops images older than the last processed frame
-        (ThreadedKFVio.cpp:198-204)."""
-        if timestamp_ns < self._last_added_ns - 1_000_000:
+        """Drops images older than the last added frame minus the frame
+        timestamp tolerance (ThreadedKFVio.cpp:197-204 — the reference
+        compares against frameTimestampTolerance and assigns, not maxes,
+        so skewed multi-camera feeds within the tolerance pass)."""
+        tol_ns = int(self.params.camera_params.timestamp_tolerance * NS)
+        if timestamp_ns < self._last_added_ns - tol_ns:
             return False
-        self._last_added_ns = max(self._last_added_ns, timestamp_ns)
+        self._last_added_ns = timestamp_ns
         q = self.camera_queues[cam_idx]
         item = (timestamp_ns, cam_idx, image)
         self._images_fed += 1
