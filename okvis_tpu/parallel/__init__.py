@@ -2,6 +2,7 @@
 
 from .sharded_ba import (  # noqa: F401
     make_mesh,
+    make_mesh2d,
     make_sharded_optimizer,
     problem_specs,
     shard_problem,

@@ -44,11 +44,33 @@ def make_mesh(n_devices: int = None, axis: str = "map") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def problem_specs(cfg: WindowConfig, axis: str = "map") -> BaProblem:
+def make_mesh2d(n_hosts: int, devices_per_host: int) -> Mesh:
+    """Multi-host mesh ("host", "map"): the map axis is contiguous devices
+    of one host (psum rides ICI); the host axis crosses hosts (psum rides
+    DCN). Only the already-reduced (D,D) dense system crosses the host
+    axis — the landmark tables never leave their host."""
+    devs = jax.devices()[: n_hosts * devices_per_host]
+    return Mesh(np.asarray(devs).reshape(n_hosts, devices_per_host),
+                ("host", "map"))
+
+
+def _psum_hier(x, axis):
+    """psum over one axis name, or hierarchically over a tuple — innermost
+    (last) axis first, so on ("host", "map") the big per-shard reduction
+    collapses over ICI before the residue crosses DCN."""
+    if isinstance(axis, (tuple, list)):
+        for a in reversed(axis):
+            x = jax.lax.psum(x, a)
+        return x
+    return jax.lax.psum(x, axis)
+
+
+def problem_specs(cfg: WindowConfig, axis="map") -> BaProblem:
     """PartitionSpec pytree for a BaProblem: obs/landmark tables sharded on
-    their leading axis, everything else replicated."""
+    their leading axis, everything else replicated. `axis` may be a tuple
+    (e.g. ("host", "map")) — the leading dim then shards over both."""
     rep = P()
-    sh = P(axis)
+    sh = P(tuple(axis) if isinstance(axis, (tuple, list)) else axis)
     jtu = jax.tree_util
     p = jtu.tree_map(lambda _: rep, _template(cfg))
     # states: hp_W sharded
@@ -109,14 +131,19 @@ def make_sharded_optimizer(
     imu_params: ImuParams,
     intrinsics: List[jnp.ndarray],
     mesh: Mesh,
-    axis: str = "map",
+    axis="map",
 ):
     """Build a jitted sharded optimize step: problem (sharded) -> new states.
 
     The returned function expects a problem processed by `shard_problem`
     (shard-local lm_idx) and placed according to `problem_specs`.
     """
-    n = mesh.shape[axis]
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+    else:
+        n = mesh.shape[axis]
     assert cfg.max_landmarks % n == 0 and cfg.max_observations % n == 0
     cfg_local = dataclasses.replace(
         cfg,
@@ -136,9 +163,9 @@ def make_sharded_optimizer(
         H_obs, b_obs, H_ll, b_l, W, cost_obs = evaluate_reprojection(
             cfg_local, intrinsics, problem.obs, states
         )
-        H_obs = jax.lax.psum(H_obs, axis)
-        b_obs = jax.lax.psum(b_obs, axis)
-        cost_obs = jax.lax.psum(cost_obs, axis)
+        H_obs = _psum_hier(H_obs, axis)
+        b_obs = _psum_hier(b_obs, axis)
+        cost_obs = _psum_hier(cost_obs, axis)
         H_dense, b_dense, cost_dense = evaluate_dense_factors(
             cfg, imu_params, problem, states_dense
         )
@@ -221,8 +248,8 @@ def _sharded_solve(cfg, cfg_local, eqs, state_mask, lm_mask, lam, sb_mask, axis)
     # local landmark-Schur contribution, reduced over shards
     S_local = jnp.einsum("lda,lab,leb->de", eqs.W, Hl_inv, eqs.W)
     g_local = jnp.einsum("lda,lab,lb->d", eqs.W, Hl_inv, eqs.b_l)
-    H_red = H_dd - jax.lax.psum(S_local, axis)
-    b_red = eqs.b_d - jax.lax.psum(g_local, axis)
+    H_red = H_dd - _psum_hier(S_local, axis)
+    b_red = eqs.b_d - _psum_hier(g_local, axis)
 
     mf = dim_mask.astype(dtype)
     H_red = H_red * mf[:, None] * mf[None, :] + jnp.diag(1.0 - mf)

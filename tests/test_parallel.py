@@ -89,3 +89,32 @@ def test_shard_problem_layout(world):
         assert np.all(lm_idx[blk][active] < Ls)
     # same number of active observations overall
     assert mask.sum() == np.asarray(problem.obs.mask).sum()
+
+def test_multihost_2d_mesh_matches_single_device(world):
+    """2-host × 4-chip mesh ("host", "map"): hierarchical psum (ICI within
+    host, DCN across) must be numerically identical to the flat solve."""
+    from okvis_tpu.parallel.sharded_ba import make_mesh2d
+
+    cfg, imu_params, intrinsics, problem, truth = world
+    problem = perturb(problem, truth)
+
+    states_ref, diag_ref = jax.jit(
+        functools.partial(optimize_window, cfg, imu_params, intrinsics)
+    )(problem)
+
+    mesh = make_mesh2d(2, 4)
+    opt = make_sharded_optimizer(
+        cfg, imu_params, intrinsics, mesh, axis=("host", "map")
+    )
+    sharded = shard_problem(problem, 8)
+    states_sh, (cost_sh, hist) = opt(sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(states_sh.r_WS), np.asarray(states_ref.r_WS), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(cost_sh), float(diag_ref.final_cost), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(states_sh.hp_W), np.asarray(states_ref.hp_W), atol=1e-7
+    )
