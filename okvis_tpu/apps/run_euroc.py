@@ -36,6 +36,7 @@ def run(
     rig=None,
     detection_threshold: float = None,
     max_keypoints: int = None,
+    loop_closure: bool = False,
 ) -> dict:
     import os as _os
 
@@ -48,6 +49,8 @@ def run(
         params.optimization.detection_threshold = detection_threshold
     if max_keypoints is not None:
         params.optimization.max_num_keypoints = max_keypoints
+    if loop_closure:
+        params.posegraph.enabled = True
     ds = EurocDataset(mav0_dir, num_cameras=len(params.cameras), skip_sec=skip_sec)
     vio = ThreadedVio(params, rig=rig, blocking=True, dtype=dtype)
 
@@ -84,6 +87,20 @@ def run(
     if gt is not None and len(est_ts) >= 3:
         gt_ts, gt_p, _ = gt
         out["ate_rmse_m"] = ate_rmse(est_ts, est_p, gt_ts, gt_p)
+    if vio.posegraph is not None:
+        # the graph holds the loop-consistent keyframe trajectory
+        kf_traj = vio.posegraph.trajectory()
+        out["loop_closures"] = sum(
+            1 for e in vio.posegraph.loop_events if e.accepted)
+        out["posegraph_keyframes"] = len(kf_traj)
+        if kf_traj:
+            kf_ts = np.asarray([t for _, t, _, _ in kf_traj])
+            kf_p = np.stack([r for _, _, r, _ in kf_traj])
+            kf_q = np.stack([q for _, _, _, q in kf_traj])
+            if trajectory_out:
+                write_tum(trajectory_out + ".loop", kf_ts, kf_p, kf_q)
+            if gt is not None and len(kf_ts) >= 3:
+                out["ate_rmse_loop_m"] = ate_rmse(kf_ts, kf_p, gt_ts, gt_p)
     out["timing"] = timing_table
     return out
 
@@ -96,6 +113,8 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--trajectory-out", default="trajectory.tum")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="enable the pose-graph/loop-closure layer")
     args = ap.parse_args(argv)
     out = run(
         args.config,
@@ -104,6 +123,7 @@ def main(argv=None):
         max_frames=args.max_frames,
         dtype=jnp.float64 if args.f64 else jnp.float32,
         trajectory_out=args.trajectory_out,
+        loop_closure=args.loop_closure,
     )
     timing = out.pop("timing")
     print(timing, file=sys.stderr)

@@ -75,6 +75,21 @@ class OptimizationConfig:
 
 
 @dataclasses.dataclass
+class PoseGraphConfigParams:
+    """Pose-graph / loop-closure layer (new capability vs the reference,
+    which has none — see BASELINE.json; defaults mirror
+    posegraph/manager.PoseGraphConfig). Off unless the YAML enables it."""
+
+    enabled: bool = False
+    score_threshold: float = 0.22
+    min_gap: int = 10
+    min_inliers: int = 20
+    node_capacity: int = 256
+    edge_capacity: int = 512
+    cull_redundant: bool = False
+
+
+@dataclasses.dataclass
 class PublishingConfig:
     publish_rate: int = 200
     publish_landmarks: bool = True
@@ -91,4 +106,6 @@ class VioParameters:
     imu: ImuConfig = dataclasses.field(default_factory=ImuConfig)
     optimization: OptimizationConfig = dataclasses.field(default_factory=OptimizationConfig)
     publishing: PublishingConfig = dataclasses.field(default_factory=PublishingConfig)
+    posegraph: PoseGraphConfigParams = dataclasses.field(
+        default_factory=PoseGraphConfigParams)
     image_delay: float = 0.0

@@ -105,6 +105,22 @@ def read_config(path: str) -> VioParameters:
             pub.get("publishImuPropagatedState", True)
         ),
     )
+    # pose-graph / loop-closure block — an okvis_tpu extension (the stock
+    # reference config has no such section; absent -> disabled)
+    pg = raw.get("posegraph", {})
+    if pg:
+        from .parameters import PoseGraphConfigParams
+
+        p.posegraph = PoseGraphConfigParams(
+            enabled=_as_bool(pg.get("enabled", True)),
+            score_threshold=pg.get("scoreThreshold", 0.22),
+            min_gap=pg.get("minGap", 10),
+            min_inliers=pg.get("minInliers", 20),
+            node_capacity=pg.get("nodeCapacity", 256),
+            edge_capacity=pg.get("edgeCapacity", 512),
+            cull_redundant=_as_bool(pg.get("cullRedundant", False)),
+        )
+
     p.image_delay = raw.get("imageDelay", 0.0)
     return p
 

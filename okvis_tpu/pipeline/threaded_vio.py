@@ -93,6 +93,32 @@ class ThreadedVio:
         )
         self.blocking = blocking
 
+        # optional pose-graph / loop-closure layer (new capability vs the
+        # reference; BASELINE.json). Runs in the processing thread on
+        # keyframes only; PGO triggers only on verified loops.
+        self.posegraph = None
+        if params.posegraph.enabled:
+            from ..posegraph.manager import PoseGraphConfig, PoseGraphManager
+
+            T_SC0 = self.rig.camera_T_SC(0)
+            intr0 = np.asarray(self.rig.intrinsics[0])
+            self.posegraph = PoseGraphManager(
+                PoseGraphConfig(
+                    score_threshold=params.posegraph.score_threshold,
+                    min_gap=params.posegraph.min_gap,
+                    min_inliers=params.posegraph.min_inliers,
+                    node_capacity=params.posegraph.node_capacity,
+                    edge_capacity=params.posegraph.edge_capacity,
+                    focal=float(intr0[0]),
+                    db_kp_capacity=params.optimization.max_num_keypoints,
+                    desc_words=16,
+                    desc_dtype=np.uint32,
+                ),
+                T_SC=(np.asarray(T_SC0.r, np.float64),
+                      np.asarray(T_SC0.q, np.float64)),
+            )
+        self.loop_closure_callback: Optional[Callable] = None
+
         # queues (ThreadedKFVio.hpp:343-375)
         self.camera_queues = [ThreadSafeQueue() for _ in range(self.rig.num_cameras)]
         self.keypoint_queue = ThreadSafeQueue()
@@ -462,6 +488,10 @@ class ThreadedVio:
                 epoch0 + int(est._states_by_time()[-1].timestamp * NS) - NS // 2
             )
 
+            if self.posegraph is not None and as_keyframe:
+                with Timer("3.3 posegraph"):
+                    self._feed_posegraph(est, sid, mf, ts_ns)
+
             result = StateEstimate(
                 timestamp_ns=ts_ns,
                 T_WS=est.get_T_WS(sid),
@@ -473,6 +503,56 @@ class ThreadedVio:
                 self._reprop_needed = True  # repropagationNeeded_ (ref :774-794)
                 self.trajectory.append(result)
             self.result_queue.push_nonblocking_dropping_if_full(result, 10)
+
+    def _feed_posegraph(self, est: Estimator, sid: int, mf: MultiFrame,
+                        ts_ns: int) -> None:
+        """Hand the new keyframe (cam 0) to the pose-graph layer.
+
+        Payload: packed descriptors, unit bearings (back-projection), and the
+        world positions of associated landmarks — everything the retrieval +
+        verification programs need, all fixed-shape.
+        """
+        from ..frontend import kernels
+
+        f = mf.frames[0]
+        desc = np.asarray(f.descriptors)  # (K, 16) uint32
+        mask = np.asarray(f.keypoints.mask, bool).copy()
+        uv = np.asarray(f.keypoints.uv)
+        K = desc.shape[0]
+
+        rays = np.asarray(kernels.back_project_batch(
+            self.rig.specs[0], self.rig.intrinsics[0],
+            jnp.asarray(uv)))  # (K, 3) (x, y, 1)
+        n = np.linalg.norm(rays, axis=1, keepdims=True)
+        bearings = rays / np.maximum(n, 1e-12)
+
+        lms_W = np.zeros((K, 3))
+        lm_valid = np.zeros(K, bool)
+        for k in range(K):
+            lm_id = int(f.landmark_ids[k])
+            if lm_id == 0 or not mask[k]:
+                continue
+            rec = est.landmarks.get(lm_id)
+            if rec is None or not rec.initialized:
+                continue
+            hp = est.get_landmark(lm_id)
+            if abs(hp[3]) < 1e-8:
+                continue
+            lms_W[k] = hp[:3] / hp[3]
+            lm_valid[k] = True
+
+        T = est.get_T_WS(sid)
+        event = self.posegraph.add_keyframe(
+            kf_id=mf.id, timestamp_ns=ts_ns,
+            r_WS_vio=np.asarray(T.r, np.float64),
+            q_WS_vio=np.asarray(T.q, np.float64),
+            descriptors=desc, desc_mask=mask, bearings_C=bearings,
+            landmarks_W=lms_W, lm_valid=lm_valid)
+        if self.params.posegraph.cull_redundant:
+            self.posegraph.cull_redundant()
+        if (event is not None and event.accepted
+                and self.loop_closure_callback is not None):
+            self.loop_closure_callback(event)
 
     def _publisher_loop(self) -> None:
         """Callback publishing (publisherLoop, ThreadedKFVio.cpp:857-878)."""

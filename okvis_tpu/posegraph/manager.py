@@ -57,6 +57,8 @@ class PoseGraphConfig:
     node_capacity: int = 256
     edge_capacity: int = 512
     db_kp_capacity: int = 512
+    desc_words: int = 64  # descriptor packing (16 x uint32 in the pipeline)
+    desc_dtype: type = None  # defaults to uint8; pipeline passes uint32
     seed: int = 7
 
 
@@ -75,7 +77,9 @@ class PoseGraphManager:
         self.cfg = config or PoseGraphConfig()
         self.graph = PoseGraph(self.cfg.node_capacity, self.cfg.edge_capacity)
         self.db = KeyframeDatabase(self.cfg.node_capacity,
-                                   self.cfg.db_kp_capacity)
+                                   self.cfg.db_kp_capacity,
+                                   desc_words=self.cfg.desc_words,
+                                   desc_dtype=self.cfg.desc_dtype or np.uint8)
         self.T_SC: Pose = T_SC if T_SC is not None else (
             np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0]))
         self.prev_kf_id: Optional[int] = None
@@ -160,7 +164,7 @@ class PoseGraphManager:
         # XLA program for every verification call
         kp_cap = self.db.kp_cap
         kq = min(len(desc), bearings_C.shape[0], kp_cap)
-        dq = np.zeros((kp_cap, desc.shape[1]), np.uint8)
+        dq = np.zeros((kp_cap, desc.shape[1]), desc.dtype)
         mq = np.zeros(kp_cap, bool)
         bq = np.zeros((kp_cap, 3), np.float64)
         dq[:kq] = desc[:kq]

@@ -65,11 +65,11 @@ class KeyframeDatabase:
     """
 
     def __init__(self, frame_capacity: int = 256, kp_capacity: int = 512,
-                 desc_bytes: int = 64):
+                 desc_words: int = 64, desc_dtype=np.uint8):
         self.frame_cap = frame_capacity
         self.kp_cap = kp_capacity
-        self.desc = np.zeros((frame_capacity, kp_capacity, desc_bytes),
-                             np.uint8)
+        self.desc = np.zeros((frame_capacity, kp_capacity, desc_words),
+                             desc_dtype)
         self.mask = np.zeros((frame_capacity, kp_capacity), bool)
         self.occupied = np.zeros(frame_capacity, bool)
         self.kf_ids: List[Optional[int]] = [None] * frame_capacity
@@ -150,7 +150,7 @@ class KeyframeDatabase:
         if not allowed.any():
             return None, 0.0, np.zeros(self.frame_cap, np.float32)
         kq = min(len(desc_q), self.kp_cap)
-        dq = np.zeros((self.kp_cap, self.desc.shape[2]), np.uint8)
+        dq = np.zeros((self.kp_cap, self.desc.shape[2]), self.desc.dtype)
         mq = np.zeros(self.kp_cap, bool)
         dq[:kq] = desc_q[:kq]
         mq[:kq] = mask_q[:kq]

@@ -287,3 +287,41 @@ class TestManagerEndToEnd:
         assert mgr.graph.has_node(0) and mgr.graph.has_node(5)
         res = mgr.graph.optimize(max_iterations=3)
         assert np.isfinite(float(res.final_cost))
+
+
+@pytest.mark.slow
+class TestPipelineIntegration:
+    def test_run_euroc_with_posegraph(self, tmp_path):
+        """Pipeline e2e with the pose-graph layer on: keyframes flow into
+        the graph, the CLI reports pose-graph outputs, VIO quality holds."""
+        import jax.numpy as jnp
+
+        from okvis_tpu.apps.run_euroc import run
+        from okvis_tpu.cameras import NCameraSystem
+        from okvis_tpu.datasets.synthetic import (euroc_stereo_rig,
+                                                  make_landmarks,
+                                                  simulate_trajectory,
+                                                  write_euroc_format)
+
+        traj = simulate_trajectory(duration=1.5, seed=41, motion_scale=0.25)
+        specs, T_SC, intrinsics = euroc_stereo_rig()
+        rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC,
+                            intrinsics=intrinsics)
+        lms = make_landmarks(traj, 240, seed=42, radius=(4.0, 8.0))
+        mav0 = write_euroc_format(str(tmp_path / "ds"), traj, lms, rig,
+                                  frame_dt=0.1, n_frames=10)
+        out = run(
+            "/root/reference/config/config_fpga_p2_euroc.yaml",
+            mav0,
+            dtype=jnp.float64,
+            trajectory_out=str(tmp_path / "traj.tum"),
+            rig=rig,
+            detection_threshold=15.0,
+            max_keypoints=200,
+            loop_closure=True,
+        )
+        assert out["frames_processed"] >= 6
+        assert out["posegraph_keyframes"] >= 2
+        assert out["ate_rmse_m"] is not None and out["ate_rmse_m"] < 0.2
+        # short non-revisiting run: no false loop closures
+        assert out["loop_closures"] == 0
