@@ -37,6 +37,7 @@ def run(
     detection_threshold: float = None,
     max_keypoints: int = None,
     loop_closure: bool = False,
+    pose_view: str = None,
 ) -> dict:
     import os as _os
 
@@ -53,6 +54,13 @@ def run(
         params.posegraph.enabled = True
     ds = EurocDataset(mav0_dir, num_cameras=len(params.cameras), skip_sec=skip_sec)
     vio = ThreadedVio(params, rig=rig, blocking=True, dtype=dtype)
+
+    viewer = None
+    if pose_view:
+        from ..pipeline.pose_viewer import PoseViewer
+
+        viewer = PoseViewer()
+        vio.full_state_callback = viewer.publish_full_state_as_callback
 
     n_frames = 0
     t_start = time.perf_counter()
@@ -101,6 +109,11 @@ def run(
                 write_tum(trajectory_out + ".loop", kf_ts, kf_p, kf_q)
             if gt is not None and len(kf_ts) >= 3:
                 out["ate_rmse_loop_m"] = ate_rmse(kf_ts, kf_p, gt_ts, gt_p)
+    if viewer is not None:
+        if vio.posegraph is not None and vio.posegraph.trajectory():
+            viewer.add_loop_corrected(
+                np.stack([r for _, _, r, _ in vio.posegraph.trajectory()]))
+        viewer.save(pose_view)
     out["timing"] = timing_table
     return out
 
@@ -115,6 +128,9 @@ def main(argv=None):
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--loop-closure", action="store_true",
                     help="enable the pose-graph/loop-closure layer")
+    ap.add_argument("--pose-view", default=None, metavar="OUT.png",
+                    help="render the top-down trajectory view to a PNG "
+                         "(headless PoseViewer analog)")
     args = ap.parse_args(argv)
     out = run(
         args.config,
@@ -124,6 +140,7 @@ def main(argv=None):
         dtype=jnp.float64 if args.f64 else jnp.float32,
         trajectory_out=args.trajectory_out,
         loop_closure=args.loop_closure,
+        pose_view=args.pose_view,
     )
     timing = out.pop("timing")
     print(timing, file=sys.stderr)

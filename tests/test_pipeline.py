@@ -508,3 +508,46 @@ def test_online_extrinsics_calibration_pipeline():
         )
     ).max()
     assert err1 < 0.5 * err0, f"online calibration did not improve: {err0} -> {err1}"
+
+
+class TestPoseViewer:
+    """Headless PoseViewer analog (ref okvis_app_synchronous.cpp:55-195)."""
+
+    def test_path_rendering_and_readout(self):
+        from okvis_tpu.kinematics import se3
+        from okvis_tpu.pipeline.pose_viewer import PoseViewer
+
+        v = PoseViewer(image_size=200)
+        for i in range(50):
+            a = i / 50 * 2 * np.pi
+            T = se3.SE3(r=np.array([np.cos(a), np.sin(a), 0.1 * i]),
+                        q=np.array([0.0, 0.0, 0.0, 1.0]))
+            sb = np.concatenate([[0.3, 0.0, 0.0], np.zeros(6)])
+            v.publish_full_state_as_callback(i * 10**8, T, sb)
+        img = v.render()
+        assert img.shape == (200, 200, 3)
+        # the path must actually be drawn (non-background pixels)
+        assert (img != 255).any(axis=2).sum() > 100
+        ro = v.last_readout()
+        assert ro["n_states"] == 50
+        assert abs(ro["speed_mps"] - 0.3) < 1e-9
+
+    def test_empty_viewer_renders_blank(self):
+        from okvis_tpu.pipeline.pose_viewer import PoseViewer
+
+        v = PoseViewer(image_size=64)
+        img = v.render()
+        assert (img == 255).all()
+
+    def test_save_png(self, tmp_path):
+        from okvis_tpu.kinematics import se3
+        from okvis_tpu.pipeline.pose_viewer import PoseViewer
+
+        v = PoseViewer(image_size=64)
+        for i in range(5):
+            T = se3.SE3(r=np.array([float(i), 0.0, 0.0]),
+                        q=np.array([0.0, 0.0, 0.0, 1.0]))
+            v.publish_full_state_as_callback(i, T, np.zeros(9))
+        p = tmp_path / "path.png"
+        v.save(str(p))
+        assert p.exists() and p.stat().st_size > 0
