@@ -89,7 +89,18 @@ def nms(score: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
     return jnp.where(score >= m, score, -jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("max_keypoints", "nms_radius", "border"))
+def _use_pallas_default() -> bool:
+    """Pallas fused kernel on real TPU; XLA conv path elsewhere (CPU tests)."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_keypoints", "nms_radius", "border", "use_pallas"),
+)
 def detect_keypoints(
     img: jnp.ndarray,
     threshold: float = 30.0,
@@ -97,6 +108,7 @@ def detect_keypoints(
     nms_radius: int = 4,
     border: int = 20,
     mask: jnp.ndarray = None,
+    use_pallas: bool = None,
 ) -> Keypoints:
     """Detect up to max_keypoints Harris corners with subpixel refinement.
 
@@ -104,9 +116,12 @@ def detect_keypoints(
     where the descriptor pattern would leave the image; an optional (H, W)
     boolean `mask` suppresses detections outside it (ref CameraBase image
     mask, okvis_cv/include/okvis/cameras/CameraBase.hpp isMasked).
+
+    On TPU the response+NMS runs as the fused Pallas kernel
+    (ops.detection_pallas, equivalent inside the border); set
+    `use_pallas` to force either path.
     """
     H, W = img.shape
-    score_raw = harris_response(img)
     # border mask (selection only — subpixel refinement reads score_raw so a
     # detection at the mask edge never sees the -inf sentinel)
     ys = jnp.arange(H)[:, None]
@@ -114,8 +129,18 @@ def detect_keypoints(
     inb = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
     if mask is not None:
         inb = inb & mask
-    score = jnp.where(inb, score_raw, -jnp.inf)
-    sup = nms(score, nms_radius)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from ..ops.detection_pallas import harris_suppressed_pallas
+
+        score_raw, sup = harris_suppressed_pallas(
+            img.astype(jnp.float32), inb.astype(jnp.float32), nms_radius=nms_radius
+        )
+    else:
+        score_raw = harris_response(img)
+        score = jnp.where(inb, score_raw, -jnp.inf)
+        sup = nms(score, nms_radius)
 
     flat = sup.ravel()
     vals, idx = jax.lax.top_k(flat, max_keypoints)

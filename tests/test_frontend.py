@@ -330,3 +330,67 @@ def test_no_nan_keypoints_at_border(rng):
     uv = np.asarray(kps.uv)[np.asarray(kps.mask)]
     assert len(uv) > 0
     assert np.isfinite(uv).all(), uv
+
+
+def test_pallas_harris_matches_xla(rng):
+    """Fused Pallas Harris+NMS (interpret mode) vs the XLA conv path."""
+    from okvis_tpu.frontend.detection import harris_response, nms
+    from okvis_tpu.ops.detection_pallas import harris_suppressed_pallas
+
+    H, W = 96, 128
+    border = 20
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    inb = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
+
+    raw_p, sup_p = harris_suppressed_pallas(
+        img, inb.astype(jnp.float32), interpret=True
+    )
+    raw_x = harris_response(img)
+    sup_x = nms(jnp.where(inb, raw_x, -jnp.inf), radius=4)
+
+    # interior response matches to accumulation-order tolerance
+    sl = (slice(border, H - border), slice(border, W - border))
+    np.testing.assert_allclose(
+        np.asarray(raw_p)[sl], np.asarray(raw_x)[sl], rtol=1e-4, atol=1e-3
+    )
+    # suppression pattern: same surviving maxima
+    fin_p = np.isfinite(np.asarray(sup_p))
+    fin_x = np.isfinite(np.asarray(sup_x))
+    assert (fin_p == fin_x).all()
+    # outside the border everything is suppressed
+    assert not fin_p[:border].any() and not fin_p[:, :border].any()
+
+
+def test_pallas_detection_end_to_end(rng):
+    """detect_keypoints(use_pallas=True, interpret kernel) selects the same
+    keypoints as the XLA path."""
+    import okvis_tpu.ops.detection_pallas as dp
+    from okvis_tpu.frontend import detection
+
+    H, W = 96, 128
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+
+    kps_x = detect_keypoints(img, threshold=1.0, max_keypoints=64, use_pallas=False)
+
+    orig = dp.harris_suppressed_pallas
+
+    def interp(img, inb, **kw):
+        kw["interpret"] = True
+        return orig(img, inb, **kw)
+
+    dp.harris_suppressed_pallas = interp
+    try:
+        kps_p = detection.detect_keypoints.__wrapped__(
+            img, threshold=1.0, max_keypoints=64, nms_radius=4, border=20,
+            mask=None, use_pallas=True,
+        )
+    finally:
+        dp.harris_suppressed_pallas = orig
+    m_x = np.asarray(kps_x.mask)
+    m_p = np.asarray(kps_p.mask)
+    assert (m_x == m_p).all()
+    np.testing.assert_allclose(
+        np.asarray(kps_p.uv)[m_p], np.asarray(kps_x.uv)[m_x], atol=1e-3
+    )
