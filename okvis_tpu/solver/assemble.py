@@ -63,6 +63,7 @@ def evaluate_reprojection(
     intrinsics: List[jnp.ndarray],
     obs,
     states: WindowStates,
+    fused: bool = None,
 ):
     """Reprojection-factor part of the normal equations.
 
@@ -81,23 +82,47 @@ def evaluate_reprojection(
     T_WS_o = SE3(r=states.r_WS[obs.state_idx], q=states.q_WS[obs.state_idx])
     hp_o = states.hp_W[obs.lm_idx]
 
-    res = jnp.zeros((O, 2), dtype)
-    J_pose = jnp.zeros((O, 2, 6), dtype)
-    J_ext = jnp.zeros((O, 2, 6), dtype)
-    J_hp = jnp.zeros((O, 2, 3), dtype)
-    for c in range(C):
-        spec = cfg.camera_specs[c]
-        T_SC = SE3(r=states.r_SC[c], q=states.q_SC[c])
+    # Fused path: when every camera shares one distortion model (the EuRoC
+    # stereo case), gather per-observation intrinsics/extrinsics by cam_idx
+    # and evaluate ALL observations in ONE vmapped pass — C× fewer ops than
+    # the per-camera loop (which evaluates all O observations per camera and
+    # where-selects). Mixed rigs fall back to the loop.
+    same_model = (
+        len({(s.dist_type, s.num_intrinsics) for s in cfg.camera_specs[:C]}) == 1
+    )
+    if fused is None:
+        fused = same_model
+    if fused:
+        assert same_model, "fused reprojection path needs one distortion model"
+        spec0 = cfg.camera_specs[0]
+        intr_o = jnp.stack(intrinsics)[obs.cam_idx]  # (O, N)
+        T_SC_o = SE3(r=states.r_SC[obs.cam_idx], q=states.q_SC[obs.cam_idx])
 
-        def one(kp, w, T_ws, hp):
-            return reprojection_error(spec, intrinsics[c], kp, w, T_ws, hp, T_SC)
+        def one_fused(kp, w, T_ws, hp, intr, T_sc):
+            return reprojection_error(spec0, intr, kp, w, T_ws, hp, T_sc)
 
-        r_c, J_c, _valid = jax.vmap(one)(obs.keypoint, obs.sqrt_info, T_WS_o, hp_o)
-        sel = (obs.cam_idx == c)[:, None]
-        res = jnp.where(sel, r_c, res)
-        J_pose = jnp.where(sel[..., None], J_c.J_pose, J_pose)
-        J_ext = jnp.where(sel[..., None], J_c.J_ext, J_ext)
-        J_hp = jnp.where(sel[..., None], J_c.J_hp, J_hp)
+        res, J_all, _valid = jax.vmap(one_fused)(
+            obs.keypoint, obs.sqrt_info, T_WS_o, hp_o, intr_o, T_SC_o
+        )
+        J_pose, J_ext, J_hp = J_all.J_pose, J_all.J_ext, J_all.J_hp
+    else:
+        res = jnp.zeros((O, 2), dtype)
+        J_pose = jnp.zeros((O, 2, 6), dtype)
+        J_ext = jnp.zeros((O, 2, 6), dtype)
+        J_hp = jnp.zeros((O, 2, 3), dtype)
+        for c in range(C):
+            spec = cfg.camera_specs[c]
+            T_SC = SE3(r=states.r_SC[c], q=states.q_SC[c])
+
+            def one(kp, w, T_ws, hp):
+                return reprojection_error(spec, intrinsics[c], kp, w, T_ws, hp, T_SC)
+
+            r_c, J_c, _valid = jax.vmap(one)(obs.keypoint, obs.sqrt_info, T_WS_o, hp_o)
+            sel = (obs.cam_idx == c)[:, None]
+            res = jnp.where(sel, r_c, res)
+            J_pose = jnp.where(sel[..., None], J_c.J_pose, J_pose)
+            J_ext = jnp.where(sel[..., None], J_c.J_ext, J_ext)
+            J_hp = jnp.where(sel[..., None], J_c.J_hp, J_hp)
 
     m = obs.mask[:, None].astype(dtype)
     res = res * m

@@ -181,3 +181,16 @@ def test_newton_schulz_solve_matches_cholesky(rng):
         x_ref = np.linalg.solve(Hs, b)
         rel = np.linalg.norm(x_ns - x_ref) / np.linalg.norm(x_ref)
         assert rel < 1e-8, f"cond={cond}: rel err {rel}"
+
+
+def test_fused_reprojection_matches_per_camera_loop(world, rng):
+    """The single-pass (cam_idx-gathered) reprojection assembly must equal the
+    per-camera loop+select path exactly — same factors, different batching."""
+    from okvis_tpu.solver.assemble import evaluate_reprojection
+
+    cfg, imu_params, intrinsics, problem, truth = world
+    states = perturb_problem(problem, truth, rng).states
+    out_fused = evaluate_reprojection(cfg, intrinsics, problem.obs, states, fused=True)
+    out_loop = evaluate_reprojection(cfg, intrinsics, problem.obs, states, fused=False)
+    for a, b in zip(out_fused, out_loop):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12)
