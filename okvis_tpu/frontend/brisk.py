@@ -62,6 +62,11 @@ _PATTERN_PTS, _PATTERN_SIG, _PAIR_I, _PAIR_J = _build_pattern()
 # distinct smoothing sigmas -> blur pyramid levels
 _SIGMAS = np.unique(_PATTERN_SIG)
 _PT_LEVEL = np.searchsorted(_SIGMAS, _PATTERN_SIG).astype(np.int32)
+# static grouping of pattern points by blur level: each point is gathered from
+# exactly its own level (vs sampling all levels and selecting — 5× the gathers)
+_LEVEL_ORDER = np.argsort(_PT_LEVEL, kind="stable")
+_LEVEL_INV = np.argsort(_LEVEL_ORDER)
+_LEVEL_COUNTS = np.bincount(_PT_LEVEL, minlength=len(_SIGMAS))
 
 
 def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -103,17 +108,18 @@ def describe_keypoints(
     ca, sa = jnp.cos(extraction_angle), jnp.sin(extraction_angle)
     R = jnp.asarray([[0.0, 0.0], [0.0, 0.0]]).at[0, 0].set(ca).at[0, 1].set(-sa).at[1, 0].set(sa).at[1, 1].set(ca)
     pts = jnp.asarray(_PATTERN_PTS) @ R.T  # (60, 2) rotated offsets
-    pt_level = jnp.asarray(_PT_LEVEL)
 
     def one_kp(uv):
         xs = uv[0] + pts[:, 0]
         ys = uv[1] + pts[:, 1]
-        # gather each point from its blur level
-        def sample(level_idx, x, y):
-            vals = jax.vmap(lambda lv: _bilinear(lv, x, y))(levels)  # (n_levels,)
-            return vals[level_idx]
-
-        samples = jax.vmap(sample)(pt_level, xs, ys)  # (60,)
+        # gather each pattern point from exactly its blur level (static
+        # level→point grouping, no per-point level select)
+        groups, start = [], 0
+        for lvl, cnt in enumerate(_LEVEL_COUNTS):
+            idx = jnp.asarray(_LEVEL_ORDER[start:start + cnt])
+            start += cnt
+            groups.append(_bilinear(levels[lvl], xs[idx], ys[idx]))
+        samples = jnp.concatenate(groups)[jnp.asarray(_LEVEL_INV)]  # (60,)
         bits = (samples[jnp.asarray(_PAIR_I)] < samples[jnp.asarray(_PAIR_J)]).astype(
             jnp.uint32
         )  # (512,)

@@ -6,6 +6,7 @@ from .optimize import (  # noqa: F401
     apply_update,
     dense_dim_mask,
     optimize_window,
+    optimize_windows_batched,
     solve_normal_eqs,
 )
 from .structure import (  # noqa: F401

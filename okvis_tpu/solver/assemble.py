@@ -82,16 +82,19 @@ def evaluate_reprojection(
     T_WS_o = SE3(r=states.r_WS[obs.state_idx], q=states.q_WS[obs.state_idx])
     hp_o = states.hp_W[obs.lm_idx]
 
-    # Fused path: when every camera shares one distortion model (the EuRoC
-    # stereo case), gather per-observation intrinsics/extrinsics by cam_idx
-    # and evaluate ALL observations in ONE vmapped pass — C× fewer ops than
-    # the per-camera loop (which evaluates all O observations per camera and
-    # where-selects). Mixed rigs fall back to the loop.
+    # Fused path: when every camera shares one distortion model, gather
+    # per-observation intrinsics/extrinsics by cam_idx and evaluate ALL
+    # observations in ONE vmapped pass. NOT the default: measured on TPU v5e
+    # inside the full jitted LM loop, the dynamic gathers block XLA's fusion
+    # of the Jacobian chain and the step runs 5.5× SLOWER than the per-camera
+    # loop+select path (1.43 ms → 7.9 ms per 3-iteration optimize), even
+    # though the fused graph does C× less arithmetic. Kept for
+    # experimentation and as documentation of the measurement.
     same_model = (
         len({(s.dist_type, s.num_intrinsics) for s in cfg.camera_specs[:C]}) == 1
     )
     if fused is None:
-        fused = same_model
+        fused = False
     if fused:
         assert same_model, "fused reprojection path needs one distortion model"
         spec0 = cfg.camera_specs[0]

@@ -337,3 +337,25 @@ def optimize_window(
     return states, SolveDiagnostics(
         cost_history=hist, accepted=acc, final_cost=eqs.cost, final_lambda=lam
     )
+
+
+def optimize_windows_batched(
+    cfg: WindowConfig,
+    imu_params: ImuParams,
+    intrinsics: List[jnp.ndarray],
+    problems: BaProblem,
+) -> Tuple[WindowStates, SolveDiagnostics]:
+    """Optimize a BATCH of independent windows in one XLA program.
+
+    `problems` is a BaProblem pytree with a leading batch axis on every leaf
+    (stack individual problems with `jax.tree_util.tree_map(jnp.stack, ...)`).
+    Every window runs the full trust-region loop in lockstep; the batch axis
+    rides the MXU alongside the per-window dims, so offline workloads
+    (multi-session mapping, smoothing re-runs, parameter sweeps, multi-robot
+    serving) amortize kernel-launch latency across windows — throughput mode,
+    where `optimize_window` is the latency mode. No reference analog: Ceres
+    solves one problem per call (Estimator.cpp:842-906).
+    """
+    return jax.vmap(
+        lambda p: optimize_window(cfg, imu_params, intrinsics, p)
+    )(problems)

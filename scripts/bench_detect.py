@@ -28,3 +28,14 @@ for _ in range(50):
     kb = fb(imgs)
 jax.block_until_ready(kb)
 print(f"vmapped pallas x2: {(time.perf_counter()-t0)/50*1e3:.3f} ms/multiframe")
+
+# descriptor extraction (gravity-aligned), full multiframe
+from okvis_tpu.frontend.brisk import detect_and_describe_batch
+angles = jnp.asarray([0.1, 0.2])
+fd = jax.jit(lambda ims: detect_and_describe_batch(ims, angles, threshold=40.0, max_keypoints=400))
+kd = fd(imgs); jax.block_until_ready(kd)
+t0 = time.perf_counter()
+for _ in range(50):
+    kd = fd(imgs)
+jax.block_until_ready(kd)
+print(f"detect+describe x2 (one program): {(time.perf_counter()-t0)/50*1e3:.3f} ms/multiframe")

@@ -194,3 +194,21 @@ def test_fused_reprojection_matches_per_camera_loop(world, rng):
     out_loop = evaluate_reprojection(cfg, intrinsics, problem.obs, states, fused=False)
     for a, b in zip(out_fused, out_loop):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12)
+
+
+def test_batched_windows_match_individual(world, rng):
+    """optimize_windows_batched == per-window optimize_window, exactly."""
+    from okvis_tpu.solver import optimize_windows_batched
+
+    cfg, imu_params, intrinsics, problem, truth = world
+    probs = [perturb_problem(problem, truth, rng) for _ in range(3)]
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *probs)
+    states_b, diag_b = optimize_windows_batched(cfg, imu_params, intrinsics, batched)
+    for i, p in enumerate(probs):
+        s_i, d_i = optimize_window(cfg, imu_params, intrinsics, p)
+        np.testing.assert_allclose(
+            np.asarray(states_b.r_WS[i]), np.asarray(s_i.r_WS), rtol=1e-9, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(diag_b.final_cost[i]), np.asarray(d_i.final_cost), rtol=1e-9
+        )
