@@ -71,3 +71,32 @@ def test_run_euroc_app(synthetic_euroc, tmp_path):
     assert out["ate_rmse_m"] is not None
     assert out["ate_rmse_m"] < 0.2, out
     assert os.path.exists(tmp_path / "traj.tum")
+
+
+@pytest.mark.slow
+def test_euroc_sweep(synthetic_euroc, tmp_path):
+    """Sweep harness: one present sequence + missing ones -> partial table."""
+    import shutil
+
+    from okvis_tpu.apps.euroc_sweep import EUROC_SEQUENCES, sweep
+
+    mav0, traj, rig = synthetic_euroc
+    root = tmp_path / "euroc_root"
+    (root / "MH_01_easy").mkdir(parents=True)
+    shutil.copytree(mav0, root / "MH_01_easy" / "mav0")
+
+    summary = sweep(
+        "/root/reference/config/config_fpga_p2_euroc.yaml",
+        str(root),
+        sequences=("MH_01_easy", "V1_01_easy"),
+        out_dir=str(tmp_path / "out"),
+    )
+    assert len(EUROC_SEQUENCES) == 11
+    assert summary["n_ok"] == 1
+    assert summary["n_missing"] == 1
+    mh = summary["sequences"]["MH_01_easy"]
+    assert mh["status"] == "ok"
+    # stock config on the synthetic set: generous bound (stock threshold 40)
+    assert mh["ate_rmse_m"] is None or mh["ate_rmse_m"] < 1.0
+    assert os.path.exists(mh["trajectory"])
+    assert summary["sequences"]["V1_01_easy"]["status"] == "missing"
