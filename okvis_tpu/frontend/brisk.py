@@ -87,6 +87,98 @@ def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _multi_sigma_kernels(sigmas: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Zero-padded Gaussian taps, one row per sigma (L, 2·rad+1).
+
+    Per-sigma radius = int(3σ+0.5) exactly as detection.gaussian_kernel; the
+    zero taps beyond each radius contribute nothing, so padding every kernel
+    to the widest radius changes no output values."""
+    rads = [max(1, int(3.0 * s + 0.5)) for s in sigmas]
+    rad = max(rads)
+    taps = np.zeros((len(sigmas), 2 * rad + 1), np.float32)
+    for i, (s, r) in enumerate(zip(sigmas, rads)):
+        x = np.arange(-r, r + 1, dtype=np.float64)
+        k = np.exp(-0.5 * (x / s) ** 2)
+        taps[i, rad - r:rad + r + 1] = (k / k.sum()).astype(np.float32)
+    return taps, rad
+
+
+_BLUR_TAPS, _BLUR_RAD = _multi_sigma_kernels(_SIGMAS)
+
+
+def blur_pyramid(images: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) → (B, L, H, W): every pattern-sigma blur of every image in
+    TWO conv ops (one horizontal multi-output, one vertical depthwise) —
+    replaces 2·L vmapped 1-D convolve passes per image. Edge-replicate
+    padding matches detection._sep_blur."""
+    B, H, W = images.shape
+    L = len(_SIGMAS)
+    dtype = images.dtype
+    kh = jnp.asarray(_BLUR_TAPS, dtype)  # (L, taps)
+    rad = _BLUR_RAD
+    # horizontal: (B,1,H,W+2r) ⊛ (L,1,1,taps) -> (B,L,H,W)
+    xp = jnp.pad(images, ((0, 0), (0, 0), (rad, rad)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        xp[:, None], kh[:, None, None, :], (1, 1), "VALID"
+    )
+    # vertical: depthwise over the L levels
+    yp = jnp.pad(out, ((0, 0), (0, 0), (rad, rad), (0, 0)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        yp, kh[:, None, :, None], (1, 1), "VALID", feature_group_count=L
+    )
+    return out
+
+
+def _describe_from_levels(
+    levels: jnp.ndarray,  # (C, L, H, W) blur pyramid per camera
+    uv: jnp.ndarray,  # (C, K, 2)
+    angles: jnp.ndarray,  # (C,)
+) -> jnp.ndarray:
+    """(C, K, 16) packed descriptors via ONE flat 1-D gather per bilinear
+    corner: all cameras/levels/keypoints index the flattened pyramid with
+    linear offsets (TPU handles big 1-D gathers far better than batched 2-D
+    gathers; level/camera offsets are static per group)."""
+    C, L, H, W = levels.shape
+    flat = levels.reshape(-1)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)  # (C,)
+    p = jnp.asarray(_PATTERN_PTS)  # (60, 2)
+    # rotated offsets per camera: (C, 60)
+    px = ca[:, None] * p[None, :, 0] - sa[:, None] * p[None, :, 1]
+    py = sa[:, None] * p[None, :, 0] + ca[:, None] * p[None, :, 1]
+    xs = uv[:, :, 0][:, :, None] + px[:, None, :]  # (C, K, 60)
+    ys = uv[:, :, 1][:, :, None] + py[:, None, :]
+    cam_off = (jnp.arange(C, dtype=jnp.int32) * (L * H * W))[:, None, None]
+
+    groups, start = [], 0
+    for lvl, cnt in enumerate(_LEVEL_COUNTS):
+        sel = jnp.asarray(_LEVEL_ORDER[start:start + cnt])
+        start += cnt
+        x = xs[:, :, sel]
+        y = ys[:, :, sel]
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+        fx = jnp.clip(x - x0, 0.0, 1.0)
+        fy = jnp.clip(y - y0, 0.0, 1.0)
+        base = cam_off + lvl * (H * W) + y0 * W + x0  # (C, K, cnt)
+        v00 = flat[base]
+        v01 = flat[base + 1]
+        v10 = flat[base + W]
+        v11 = flat[base + W + 1]
+        groups.append(
+            v00 * (1 - fx) * (1 - fy)
+            + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy
+            + v11 * fx * fy
+        )
+    samples = jnp.concatenate(groups, axis=-1)[:, :, jnp.asarray(_LEVEL_INV)]
+    bits = (
+        samples[:, :, jnp.asarray(_PAIR_I)] < samples[:, :, jnp.asarray(_PAIR_J)]
+    ).astype(jnp.uint32)  # (C, K, 512)
+    words = bits.reshape(C, -1, DESCRIPTOR_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts, axis=-1, dtype=jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def describe_keypoints(
     img: jnp.ndarray,  # (H, W) float
@@ -101,33 +193,10 @@ def describe_keypoints(
     img = img.astype(jnp.float32)
     if extraction_angle is None:
         extraction_angle = jnp.asarray(0.0, jnp.float32)
-
-    # blur pyramid: one smoothed image per distinct pattern sigma
-    levels = jnp.stack([_sep_blur(img, gaussian_kernel(float(s))) for s in _SIGMAS])
-
-    ca, sa = jnp.cos(extraction_angle), jnp.sin(extraction_angle)
-    R = jnp.asarray([[0.0, 0.0], [0.0, 0.0]]).at[0, 0].set(ca).at[0, 1].set(-sa).at[1, 0].set(sa).at[1, 1].set(ca)
-    pts = jnp.asarray(_PATTERN_PTS) @ R.T  # (60, 2) rotated offsets
-
-    def one_kp(uv):
-        xs = uv[0] + pts[:, 0]
-        ys = uv[1] + pts[:, 1]
-        # gather each pattern point from exactly its blur level (static
-        # level→point grouping, no per-point level select)
-        groups, start = [], 0
-        for lvl, cnt in enumerate(_LEVEL_COUNTS):
-            idx = jnp.asarray(_LEVEL_ORDER[start:start + cnt])
-            start += cnt
-            groups.append(_bilinear(levels[lvl], xs[idx], ys[idx]))
-        samples = jnp.concatenate(groups)[jnp.asarray(_LEVEL_INV)]  # (60,)
-        bits = (samples[jnp.asarray(_PAIR_I)] < samples[jnp.asarray(_PAIR_J)]).astype(
-            jnp.uint32
-        )  # (512,)
-        words = bits.reshape(DESCRIPTOR_WORDS, 32)
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        return jnp.sum(words << shifts, axis=1, dtype=jnp.uint32)
-
-    return jax.vmap(one_kp)(keypoints.uv)
+    levels = blur_pyramid(img[None])  # (1, L, H, W)
+    return _describe_from_levels(
+        levels, keypoints.uv[None], jnp.asarray(extraction_angle).reshape(1)
+    )[0]
 
 
 def gravity_extraction_angle(g_in_camera: jnp.ndarray) -> jnp.ndarray:
@@ -172,15 +241,15 @@ def detect_and_describe_batch(
     Returns (Keypoints batched (C, K, ...), descriptors (C, K, 16))."""
     from .detection import detect_keypoints
 
-    def one(img, angle):
-        kps = detect_keypoints(
+    kps = jax.vmap(
+        lambda img: detect_keypoints(
             img,
             threshold=threshold,
             max_keypoints=max_keypoints,
             nms_radius=nms_radius,
             border=border,
         )
-        desc = describe_keypoints(img, kps, angle)
-        return kps, desc
-
-    return jax.vmap(one)(images, extraction_angles)
+    )(images)
+    levels = blur_pyramid(images.astype(jnp.float32))  # (C, L, H, W)
+    desc = _describe_from_levels(levels, kps.uv, extraction_angles)
+    return kps, desc
