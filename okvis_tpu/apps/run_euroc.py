@@ -38,6 +38,7 @@ def run(
     max_keypoints: int = None,
     loop_closure: bool = False,
     pose_view: str = None,
+    distributed_devices: int = 0,
 ) -> dict:
     import os as _os
 
@@ -52,6 +53,8 @@ def run(
         params.optimization.max_num_keypoints = max_keypoints
     if loop_closure:
         params.posegraph.enabled = True
+    if distributed_devices:
+        params.optimization.distributed_devices = distributed_devices
     ds = EurocDataset(mav0_dir, num_cameras=len(params.cameras), skip_sec=skip_sec)
     vio = ThreadedVio(params, rig=rig, blocking=True, dtype=dtype)
 
@@ -131,6 +134,8 @@ def main(argv=None):
     ap.add_argument("--pose-view", default=None, metavar="OUT.png",
                     help="render the top-down trajectory view to a PNG "
                          "(headless PoseViewer analog)")
+    ap.add_argument("--distributed", type=int, default=0, metavar="N",
+                    help="shard the sliding-window BA over N devices")
     args = ap.parse_args(argv)
     out = run(
         args.config,
@@ -141,6 +146,7 @@ def main(argv=None):
         trajectory_out=args.trajectory_out,
         loop_closure=args.loop_closure,
         pose_view=args.pose_view,
+        distributed_devices=args.distributed,
     )
     timing = out.pop("timing")
     print(timing, file=sys.stderr)

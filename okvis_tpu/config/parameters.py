@@ -72,6 +72,9 @@ class OptimizationConfig:
     detection_threshold: float = 40.0
     detection_octaves: int = 0
     max_num_keypoints: int = 400
+    # >0: run the sliding-window BA sharded over this many devices
+    # (parallel.sharded_ba; new capability vs the reference)
+    distributed_devices: int = 0
 
 
 @dataclasses.dataclass

@@ -94,6 +94,11 @@ def read_config(path: str) -> VioParameters:
         detection_threshold=do.get("threshold", 40.0),
         detection_octaves=do.get("octaves", 0),
         max_num_keypoints=do.get("maxNoKeypoints", 400),
+        # extension key (absent from the stock reference YAML): shard the BA
+        # over N devices
+        distributed_devices=raw.get("distributed", {}).get("devices", 0)
+        if isinstance(raw.get("distributed", {}), dict)
+        else 0,
     )
 
     pub = raw.get("publishing_options", {})

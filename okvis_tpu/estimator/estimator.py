@@ -50,7 +50,7 @@ from ..solver import (
     optimize_window,
 )
 from ..solver.assemble import evaluate
-from ..solver.optimize import dense_dim_mask
+from ..solver.optimize import SolveDiagnostics, dense_dim_mask
 from ..utils.ids import IdProvider
 from .marginalization import marginalize_system
 
@@ -169,6 +169,8 @@ class Estimator:
         self.marg_valid = False
 
         self._jit_cache: Dict[str, object] = {}
+        self._mesh = None  # set by enable_distributed()
+        self._n_shards = 1
 
     def add_extrinsics_prior(
         self, sigma_translation: float, sigma_orientation: float
@@ -203,17 +205,78 @@ class Estimator:
         aborted, so the time-limit knob maps to selecting a shorter-iteration
         variant (min/max from the config) — see ThreadedVio's adaptive
         selection."""
-        key = ("opt", max_iterations)
+        key = ("opt", max_iterations, self._mesh is not None)
         if key not in self._jit_cache:
             cfg = (
                 self.cfg
                 if max_iterations is None
                 else dataclasses.replace(self.cfg, max_iterations=max_iterations)
             )
-            self._jit_cache[key] = jax.jit(
-                functools.partial(optimize_window, cfg, self.imu_params, self.intrinsics)
-            )
+            if self._mesh is not None:
+                self._jit_cache[key] = self._make_sharded_fn(cfg)
+            else:
+                self._jit_cache[key] = jax.jit(
+                    functools.partial(
+                        optimize_window, cfg, self.imu_params, self.intrinsics
+                    )
+                )
         return self._jit_cache[key]
+
+    def enable_distributed(self, mesh=None, n_devices: Optional[int] = None):
+        """Run every optimize() as the SHARDED BA over a device mesh
+        (landmark/observation tables partitioned over the "map" axis,
+        dense Hessian psum-reduced — parallel.sharded_ba). New capability
+        vs the reference (SURVEY §2.14): live multi-chip VIO.
+
+        Requires max_landmarks/max_observations divisible by the mesh size."""
+        from ..parallel import make_mesh
+
+        self._mesh = mesh if mesh is not None else make_mesh(n_devices)
+        self._n_shards = int(np.prod(list(self._mesh.shape.values())))
+        if (
+            self.cfg.max_landmarks % self._n_shards
+            or self.cfg.max_observations % self._n_shards
+        ):
+            raise ValueError(
+                f"landmark/observation capacities {self.cfg.max_landmarks}/"
+                f"{self.cfg.max_observations} not divisible by mesh size "
+                f"{self._n_shards}"
+            )
+        # drop single-device compiled variants; they are rebuilt sharded
+        for k in list(self._jit_cache):
+            if isinstance(k, tuple) and k[0] == "opt":
+                del self._jit_cache[k]
+        # landmark slots must spread across shard blocks (shard_problem
+        # assigns slot l to shard l // (L/n), and each shard's observation
+        # block holds only its landmarks' observations): hand out free slots
+        # round-robin over the blocks instead of sequentially.
+        n, Ls = self._n_shards, self.cfg.max_landmarks // self._n_shards
+        free = set(self._free_lm_slots)
+        rr = [b * Ls + i for i in range(Ls) for b in range(n)]
+        self._free_lm_slots = [s for s in rr if s in free][::-1]
+
+    def _make_sharded_fn(self, cfg: WindowConfig):
+        from ..parallel import make_sharded_optimizer, shard_problem
+
+        axis = tuple(self._mesh.axis_names)
+        axis = axis[0] if len(axis) == 1 else axis
+        opt = make_sharded_optimizer(
+            cfg, self.imu_params, self.intrinsics, self._mesh, axis=axis
+        )
+        iters = cfg.max_iterations
+
+        def run(problem: BaProblem):
+            sharded = shard_problem(problem, self._n_shards)
+            states, (cost, hist) = opt(sharded)
+            diag = SolveDiagnostics(
+                cost_history=hist,
+                accepted=jnp.ones((iters,), bool),
+                final_cost=cost,
+                final_lambda=jnp.zeros((), states.r_WS.dtype),
+            )
+            return states, diag
+
+        return run
 
     @property
     def _preintegrate_fn(self):

@@ -83,6 +83,11 @@ class ThreadedVio:
         )
         if online_calib:
             self.estimator.add_extrinsics_prior(sig_t, sig_r)
+        if params.optimization.distributed_devices > 0:
+            # sharded BA over a device mesh (config `distributed: devices: N`)
+            self.estimator.enable_distributed(
+                n_devices=params.optimization.distributed_devices
+            )
         self.frontend = Frontend(
             self.rig,
             FrontendConfig(

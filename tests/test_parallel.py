@@ -118,3 +118,28 @@ def test_multihost_2d_mesh_matches_single_device(world):
     np.testing.assert_allclose(
         np.asarray(states_sh.hp_W), np.asarray(states_ref.hp_W), atol=1e-7
     )
+
+
+def test_estimator_enable_distributed_matches_single(rng):
+    """Estimator.optimize() with enable_distributed(8) equals the
+    single-device optimize to f64 tolerance (same window, same factors)."""
+    import copy
+
+    from helpers import build_estimator_world
+
+    est_a, world_a = build_estimator_world(seed=5)
+    est_b, world_b = build_estimator_world(seed=5, distributed=8)
+
+    for est, world in ((est_a, world_a), (est_b, world_b)):
+        est.optimize()
+
+    np.testing.assert_allclose(est_a.r_WS, est_b.r_WS, atol=1e-7)
+    np.testing.assert_allclose(est_a.q_WS, est_b.q_WS, atol=1e-7)
+    # landmark slots are assigned round-robin under distribution: compare by id
+    assert set(est_a.landmarks) == set(est_b.landmarks)
+    for lm_id in est_a.landmarks:
+        np.testing.assert_allclose(
+            np.asarray(est_a.get_landmark(lm_id)),
+            np.asarray(est_b.get_landmark(lm_id)),
+            atol=1e-6,
+        )

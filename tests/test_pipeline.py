@@ -551,3 +551,49 @@ class TestPoseViewer:
         p = tmp_path / "path.png"
         v.save(str(p))
         assert p.exists() and p.stat().st_size > 0
+
+
+@pytest.mark.slow
+def test_threaded_vio_distributed_ba():
+    """Full pipeline with the sliding-window BA sharded over the 8-device
+    virtual mesh (config `distributed: devices: 8`) — live multi-chip VIO.
+    Accuracy must match the single-device pipeline bound."""
+    params = _make_params()
+    params.optimization.distributed_devices = 8
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    rig.compute_overlaps()
+
+    traj = simulate_trajectory(duration=2.0, seed=21, motion_scale=0.5)
+    lms = make_landmarks(traj, 220, seed=22, radius=(3.0, 10.0))
+
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
+    assert vio.estimator._mesh is not None
+    stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
+    install_stub(vio, stub)
+
+    frame_dt = 0.1
+    imu_rate = 200
+    n_frames = 16
+    dummy_img = np.zeros((480, 752), np.float32)
+    imu_i = 0
+    for fi in range(n_frames):
+        t_ns = int(fi * frame_dt * NS)
+        idx = int(round(fi * frame_dt * imu_rate))
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            vio.add_imu_measurement(
+                int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i]
+            )
+            imu_i += 1
+        stub.T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        vio.add_image(t_ns, 0, dummy_img)
+        vio.add_image(t_ns, 1, dummy_img)
+        vio.wait_idle(timeout=120)
+
+    vio.shutdown()
+    assert len(vio.trajectory) >= n_frames - 3
+    est_ts = np.asarray([s.timestamp_ns for s in vio.trajectory])
+    est_p = np.stack([np.asarray(s.T_WS.r) for s in vio.trajectory])
+    gt_ts = (traj.ts * NS).astype(np.int64)
+    ate = ate_rmse(est_ts, est_p, gt_ts, traj.r)
+    assert ate is not None and ate < 0.05, f"distributed-pipeline ATE {ate}"
