@@ -215,6 +215,10 @@ class ThreadedVio:
     def add_position_measurement(self, timestamp_ns, position, covariance=None) -> bool:
         # buffered and unused, like the reference positionConsumerLoop
         self._position_measurements.append((int(timestamp_ns), np.asarray(position)))
+        f = self._csv_writers.get("pos")
+        if f is not None:
+            p = np.asarray(position, np.float64)
+            f.write(f"{int(timestamp_ns)}, {p[0]:.6f}, {p[1]:.6f}, {p[2]:.6f}\n")
         return True
 
     def add_gps_measurement(self, *a, **k):
@@ -236,6 +240,11 @@ class ThreadedVio:
 
     def add_imu_measurement(self, timestamp_ns: int, gyro, acc) -> bool:
         item = (int(timestamp_ns), np.asarray(gyro, np.float64), np.asarray(acc, np.float64))
+        f = self._csv_writers.get("imu")
+        if f is not None:
+            g, a = item[1], item[2]
+            f.write(f"{item[0]}, {g[0]:.9f}, {g[1]:.9f}, {g[2]:.9f}, "
+                    f"{a[0]:.9f}, {a[1]:.9f}, {a[2]:.9f}\n")
         if self.blocking:
             # consume synchronously: the IMU path is cheap
             self._consume_imu(item)
@@ -453,6 +462,7 @@ class ThreadedVio:
                     est, T_WS_prop, mf
                 )
             est.set_keyframe(sid, as_keyframe)
+            self._write_tracks_csv(ts_ns, mf)
             with Timer("3.1 optimization"):
                 # real-time knob (ref setOptimizationTimeLimit +
                 # CeresIterationCallback): if the last optimize exceeded the
@@ -603,6 +613,57 @@ class ThreadedVio:
         f.write("#timestamp_ns,p_x,p_y,p_z,q_x,q_y,q_z,q_w,"
                 "v_x,v_y,v_z,b_gx,b_gy,b_gz,b_ax,b_ay,b_az\n")
         self._csv_writers["state"] = f
+
+    def set_imu_csv_file(self, path: str) -> None:
+        """Raw IMU stream (ref setImuCsvFile + writeImuCsvDescription,
+        VioInterface.cpp:109-121; the reference registers the file but never
+        streams rows — here every accepted measurement is written)."""
+        f = open(path, "w")
+        f.write("timestamp, omega_tilde_WS_S_x, omega_tilde_WS_S_y, "
+                "omega_tilde_WS_S_z, a_tilde_WS_S_x, a_tilde_WS_S_y, "
+                "a_tilde_WS_S_z\n")
+        self._csv_writers["imu"] = f
+
+    def set_pos_csv_file(self, path: str) -> None:
+        """Position-measurement stream (ref setPosCsvFile,
+        VioInterface.cpp:122-131)."""
+        f = open(path, "w")
+        f.write("timestamp, pos_E, pos_N, pos_U\n")
+        self._csv_writers["pos"] = f
+
+    def set_mag_csv_file(self, path: str) -> None:
+        """Magnetometer stream (ref setMagCsvFile, VioInterface.cpp:133-142).
+        Header-only in practice: the magnetometer input path raises
+        NotImplementedError, exactly like the reference's
+        (ThreadedKFVio.cpp:296-308)."""
+        f = open(path, "w")
+        f.write("timestamp, mag_x, mag_y, mag_z\n")
+        self._csv_writers["mag"] = f
+
+    def set_tracks_csv_file(self, camera_idx: int, path: str) -> None:
+        """Per-camera keypoint-track stream (ref setTracksCsvFile +
+        writeTracksCsvDescription, VioInterface.cpp:144-153): one row per
+        landmark-associated keypoint of every processed frame."""
+        f = open(path, "w")
+        f.write("timestamp, landmark_id, z_tilde_x, z_tilde_y, "
+                "z_tilde_stdev, descriptor\n")
+        self._csv_writers[("tracks", camera_idx)] = f
+
+    def _write_tracks_csv(self, ts_ns: int, mf) -> None:
+        for c in range(mf.num_cameras):
+            f = self._csv_writers.get(("tracks", c))
+            if f is None:
+                continue
+            fr = mf.frames[c]
+            uv = np.asarray(fr.keypoints.uv)
+            desc = np.asarray(fr.descriptors)
+            for k in np.nonzero(fr.landmark_ids != 0)[0]:
+                stdev = fr.keypoint_size(int(k)) / 8.0
+                dhex = desc[k].tobytes().hex() if desc is not None else ""
+                f.write(
+                    f"{ts_ns}, {int(fr.landmark_ids[k])}, {uv[k,0]:.4f}, "
+                    f"{uv[k,1]:.4f}, {stdev:.3f}, {dhex}\n"
+                )
 
     def wait_idle(self, timeout: float = 60.0) -> None:
         """Block until every fed measurement has fully traversed the pipeline

@@ -597,3 +597,56 @@ def test_threaded_vio_distributed_ba():
     gt_ts = (traj.ts * NS).astype(np.int64)
     ate = ate_rmse(est_ts, est_p, gt_ts, traj.r)
     assert ate is not None and ate < 0.05, f"distributed-pipeline ATE {ate}"
+
+
+@pytest.mark.slow
+def test_csv_writers(tmp_path):
+    """The VioInterface CSV surface (ref VioInterface.hpp:95-123): imu / pos /
+    mag / per-camera tracks / state files get headers and streamed rows."""
+    params = _make_params()
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    rig.compute_overlaps()
+    traj = simulate_trajectory(duration=1.2, seed=21, motion_scale=0.5)
+    lms = make_landmarks(traj, 180, seed=22, radius=(3.0, 10.0))
+
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
+    vio.set_imu_csv_file(str(tmp_path / "imu.csv"))
+    vio.set_pos_csv_file(str(tmp_path / "pos.csv"))
+    vio.set_mag_csv_file(str(tmp_path / "mag.csv"))
+    vio.set_tracks_csv_file(0, str(tmp_path / "tracks0.csv"))
+    vio.set_state_csv_file(str(tmp_path / "state.csv"))
+    stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
+    install_stub(vio, stub)
+
+    frame_dt, imu_rate, n_frames = 0.1, 200, 8
+    dummy_img = np.zeros((480, 752), np.float32)
+    imu_i = 0
+    for fi in range(n_frames):
+        t_ns = int(fi * frame_dt * NS)
+        idx = int(round(fi * frame_dt * imu_rate))
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            vio.add_imu_measurement(
+                int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i]
+            )
+            imu_i += 1
+        vio.add_position_measurement(t_ns, np.asarray([1.0, 2.0, 3.0]))
+        stub.T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        vio.add_image(t_ns, 0, dummy_img)
+        vio.add_image(t_ns, 1, dummy_img)
+        vio.wait_idle(timeout=60)
+    vio.shutdown()
+
+    imu_rows = open(tmp_path / "imu.csv").readlines()
+    assert imu_rows[0].startswith("timestamp, omega_tilde_WS_S_x")
+    assert len(imu_rows) > imu_i - 5  # one row per accepted measurement
+    pos_rows = open(tmp_path / "pos.csv").readlines()
+    assert pos_rows[0].startswith("timestamp, pos_E")
+    assert len(pos_rows) == 1 + n_frames
+    mag_rows = open(tmp_path / "mag.csv").readlines()
+    assert mag_rows == ["timestamp, mag_x, mag_y, mag_z\n"]  # header-only (input throws)
+    tr_rows = open(tmp_path / "tracks0.csv").readlines()
+    assert tr_rows[0].startswith("timestamp, landmark_id")
+    assert len(tr_rows) > 10  # landmark-associated keypoints streamed
+    st_rows = open(tmp_path / "state.csv").readlines()
+    assert len(st_rows) >= n_frames - 2
