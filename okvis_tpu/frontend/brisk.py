@@ -133,6 +133,7 @@ def _describe_from_levels(
     levels: jnp.ndarray,  # (C, L, H, W) blur pyramid per camera
     uv: jnp.ndarray,  # (C, K, 2)
     angles: jnp.ndarray,  # (C,)
+    sizes: jnp.ndarray = None,  # (C, K) keypoint sizes; None = base (8 px)
 ) -> jnp.ndarray:
     """(C, K, 16) packed descriptors via ONE flat 1-D gather per bilinear
     corner: all cameras/levels/keypoints index the flattened pyramid with
@@ -145,8 +146,17 @@ def _describe_from_levels(
     # rotated offsets per camera: (C, 60)
     px = ca[:, None] * p[None, :, 0] - sa[:, None] * p[None, :, 1]
     py = sa[:, None] * p[None, :, 0] + ca[:, None] * p[None, :, 1]
-    xs = uv[:, :, 0][:, :, None] + px[:, None, :]  # (C, K, 60)
-    ys = uv[:, :, 1][:, :, None] + py[:, None, :]
+    if sizes is not None:
+        # scale-space keypoints: the sampling pattern scales with keypoint
+        # size (BRISK semantics; detection sizes are 8·2^octave). Geometry is
+        # exact; per-point smoothing stays at the base sigmas — acceptable
+        # since cross-scale matching is gated by Hamming threshold anyway.
+        s = (sizes / 8.0)[:, :, None]  # (C, K, 1)
+        xs = uv[:, :, 0][:, :, None] + px[:, None, :] * s  # (C, K, 60)
+        ys = uv[:, :, 1][:, :, None] + py[:, None, :] * s
+    else:
+        xs = uv[:, :, 0][:, :, None] + px[:, None, :]  # (C, K, 60)
+        ys = uv[:, :, 1][:, :, None] + py[:, None, :]
     cam_off = (jnp.arange(C, dtype=jnp.int32) * (L * H * W))[:, None, None]
 
     groups, start = [], 0
@@ -184,18 +194,22 @@ def describe_keypoints(
     img: jnp.ndarray,  # (H, W) float
     keypoints: Keypoints,
     extraction_angle: jnp.ndarray = None,  # scalar radians; gravity-aligned
+    sizes: jnp.ndarray = None,  # (K,) keypoint sizes (scale-space detection)
 ) -> jnp.ndarray:
     """Extract (K, 16) uint32 packed 512-bit descriptors.
 
     extraction_angle rotates the sampling pattern (one angle per frame, from
     the gravity direction in the image — Frontend.cpp:107-110). None = 0.
-    """
+    sizes scales the pattern per keypoint (multi-octave detection)."""
     img = img.astype(jnp.float32)
     if extraction_angle is None:
         extraction_angle = jnp.asarray(0.0, jnp.float32)
     levels = blur_pyramid(img[None])  # (1, L, H, W)
     return _describe_from_levels(
-        levels, keypoints.uv[None], jnp.asarray(extraction_angle).reshape(1)
+        levels,
+        keypoints.uv[None],
+        jnp.asarray(extraction_angle).reshape(1),
+        None if sizes is None else jnp.asarray(sizes)[None],
     )[0]
 
 

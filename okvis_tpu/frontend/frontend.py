@@ -106,7 +106,9 @@ class Frontend:
                 kin.quat_conjugate(T_WC.q), jnp.asarray([0.0, 0.0, -1.0])
             )
             angle = gravity_extraction_angle(g_C)
-        desc = describe_keypoints(image, kps, angle)
+        desc = describe_keypoints(
+            image, kps, angle, sizes=None if sizes is None else sizes_j
+        )
         return FrameData(
             keypoints=kps,
             descriptors=desc,

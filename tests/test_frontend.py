@@ -394,3 +394,34 @@ def test_pallas_detection_end_to_end(rng):
     np.testing.assert_allclose(
         np.asarray(kps_p.uv)[m_p], np.asarray(kps_x.uv)[m_x], atol=1e-3
     )
+
+
+def test_scale_aware_description_cross_octave(rng):
+    """A keypoint described at size 8 in the base image matches (small
+    Hamming distance) the same feature described at size 16 in the 2x
+    upscaled image — the BRISK pattern-scaling semantics for multi-octave
+    detection."""
+    import jax
+    import jax.numpy as jnp
+
+    from okvis_tpu.frontend.brisk import describe_keypoints
+    from okvis_tpu.frontend.detection import Keypoints
+    from okvis_tpu.ops.hamming import hamming_matrix_xla
+
+    # smooth textured image so resampling noise stays small
+    base = rng.uniform(0, 255, (40, 40))
+    img = jax.image.resize(jnp.asarray(base, jnp.float32), (160, 160), "cubic")
+    img2 = jax.image.resize(jnp.asarray(base, jnp.float32), (320, 320), "cubic")
+
+    K = 4
+    uv = jnp.asarray(np.tile([[80.0, 80.0]], (K, 1)))
+    kp1 = Keypoints(uv=uv, score=jnp.ones(K), mask=jnp.ones(K, bool))
+    kp2 = Keypoints(uv=2.0 * uv + 0.5, score=jnp.ones(K), mask=jnp.ones(K, bool))
+    d1 = describe_keypoints(img, kp1, jnp.asarray(0.0), sizes=jnp.full((K,), 8.0))
+    d2 = describe_keypoints(img2, kp2, jnp.asarray(0.0), sizes=jnp.full((K,), 16.0))
+    dist = np.asarray(hamming_matrix_xla(d1, d2))[0, 0]
+    # unscaled description of the upscaled image must be clearly worse
+    d2_unscaled = describe_keypoints(img2, kp2, jnp.asarray(0.0))
+    dist_unscaled = np.asarray(hamming_matrix_xla(d1, d2_unscaled))[0, 0]
+    assert dist < 60, f"cross-scale Hamming {dist}"
+    assert dist < dist_unscaled, (dist, dist_unscaled)
