@@ -210,3 +210,79 @@ def test_marginalization_consistency_vs_batch():
         diffs.append(np.abs(np.asarray(kin.minus(T_b, T_m))).max())
     assert max(diffs) < 0.03, f"marginalized vs batch deviation: {diffs}"
     assert est_marg.marg_valid and not est_batch.marg_valid
+
+
+@pytest.mark.slow
+def test_estimator_three_camera_rig():
+    """N>2 camera support (ref NCameraSystem is N-way): a trinocular rig
+    (stereo pair + wide third camera) runs add_states/observe/optimize/
+    marginalize and converges within the TestEstimator tolerances."""
+    rng = np.random.default_rng(9)
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig
+
+    specs2, T_SC2, intr2 = euroc_stereo_rig()
+    T_SC3 = kin.SE3(
+        r=jnp.concatenate([T_SC2.r, jnp.asarray([[0.05, -0.01, 0.02]])]),
+        q=jnp.concatenate(
+            [T_SC2.q, kin.quat_normalize(jnp.asarray([[0.01, -0.02, 0.005, 1.0]]))]
+        ),
+    )
+    rig = NCameraSystem(
+        specs=(specs2[0], specs2[0], specs2[0]),
+        T_SC=T_SC3,
+        intrinsics=[intr2[0], intr2[1], intr2[0]],
+    )
+    imu_params = ImuParams.euroc()
+    traj = simulate_trajectory(duration=2.0, seed=7, motion_scale=0.5)
+    lms = make_landmarks(traj, 100, seed=8, radius=(3.0, 8.0))
+    cfg = WindowConfig(
+        num_states=9,
+        num_cameras=3,
+        max_landmarks=256,
+        max_observations=1536,
+        imu_samples=32,
+        max_imu_links=8,
+        camera_specs=tuple(rig.specs),
+    )
+    est = Estimator(rig, imu_params, num_keyframes=5, num_imu_frames=3, cfg=cfg)
+
+    frame_dt, imu_rate = 0.1, 200
+    n_frames = 12
+    from okvis_tpu.cameras import pinhole as ph
+
+    for fi in range(n_frames):
+        t = fi * frame_dt
+        idx = int(round(t * imu_rate))
+        lo, hi = max(0, idx - 24), min(len(traj.ts), idx + 5)
+        sid = est.add_states(
+            t, traj.ts[lo:hi], traj.gyro[lo:hi], traj.acc[lo:hi],
+            as_keyframe=(fi % 2 == 0),
+        )
+        T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        n_three = 0
+        for li, p_W in enumerate(lms):
+            vis = []
+            for c in range(3):
+                T_CW = kin.inverse(kin.compose(T_WS_true, rig.camera_T_SC(c)))
+                p_C = kin.transform_point(T_CW, jnp.asarray(p_W))
+                uv, flags = ph.project(rig.specs[c], est.intrinsics[c], p_C)
+                if int(flags) == ph.STATUS_OK:
+                    vis.append((c, np.asarray(uv)))
+            if len(vis) < 2:
+                continue
+            n_three += len(vis) == 3
+            lm_id = 20_000 + li
+            if not est.is_landmark_added(lm_id):
+                est.add_landmark(lm_id, p_W + rng.normal(0, 0.05, 3))
+            for c, uv in vis:
+                est.add_observation(
+                    lm_id, sid, c, uv + rng.normal(0, 0.6, 2),
+                    keypoint_idx=li, size=8.0,
+                )
+        est.optimize()
+        est.apply_marginalization_strategy()
+        T_est = est.get_T_WS(sid)
+        err = np.linalg.norm(np.asarray(T_est.r) - traj.r[idx])
+        assert err < 0.1, f"frame {fi}: position error {err:.3f} m"
+    # the third camera must actually contribute (3-view landmarks exist)
+    assert n_three > 5
