@@ -331,23 +331,51 @@ class Frontend:
             assign = np.asarray(assign)
 
             # ---- host conflict resolution, newest source first ----
-            for p, src in enumerate(sources):
-                fa = src.frames[cam]
-                for ia in np.nonzero(assign[p] >= 0)[0]:
-                    ib = int(assign[p, ia])
-                    if not free_b[ib]:
-                        continue  # taken by an earlier (newer) source
-                    lm_id = int(fa.landmark_ids[ia])
-                    if lm_id == 0 or not estimator.is_landmark_added(lm_id):
-                        continue
-                    if not estimator.add_observation(
-                        lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
-                        size=fb.keypoint_size(ib),
-                    ):
-                        continue  # observation table full: keep bookkeeping consistent
-                    frame_b.set_landmark_id(cam, ib, lm_id)
-                    free_b[ib] = False
-                    n3d += 1
+            def resolve_3d2d(assign_np, collect_losers):
+                nonlocal n3d
+                losers = np.zeros((P, K), bool)
+                for p, src in enumerate(sources):
+                    fa = src.frames[cam]
+                    for ia in np.nonzero(assign_np[p] >= 0)[0]:
+                        ib = int(assign_np[p, ia])
+                        if not free_b[ib]:
+                            # taken by an earlier (newer) source
+                            if collect_losers:
+                                losers[p, ia] = True
+                            continue
+                        lm_id = int(fa.landmark_ids[ia])
+                        if lm_id == 0 or not estimator.is_landmark_added(lm_id):
+                            continue
+                        if not estimator.add_observation(
+                            lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
+                            size=fb.keypoint_size(ib),
+                        ):
+                            continue  # observation table full
+                        frame_b.set_landmark_id(cam, ib, lm_id)
+                        free_b[ib] = False
+                        n3d += 1
+                return losers
+
+            losers = resolve_3d2d(assign, collect_losers=True)
+            # ---- second round: conflict losers re-match against the
+            # remaining free keypoints (the reference's sequential
+            # per-source matching gets this for free; one extra batched
+            # launch restores it, only on frames that had conflicts) ----
+            if losers.any() and free_b.any():
+                assign_r, _ = kernels.gated_match_pairs(
+                    self.rig.specs[cam],
+                    estimator.intrinsics[cam],
+                    desc_a,
+                    jnp.asarray(losers),
+                    jnp.asarray(hp_rows),
+                    T_CW_b,
+                    fb.descriptors,
+                    jnp.asarray(free_b),
+                    fb.keypoints.uv,
+                    jnp.asarray(cfg.gate_radius_px),
+                    threshold=cfg.matching_threshold,
+                )
+                resolve_3d2d(np.asarray(assign_r), collect_losers=False)
 
             # ---- 2D-2D: one batched plain match over the remaining free ----
             free_a = np.zeros((P, K), bool)

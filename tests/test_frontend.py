@@ -425,3 +425,88 @@ def test_scale_aware_description_cross_octave(rng):
     dist_unscaled = np.asarray(hamming_matrix_xla(d1, d2_unscaled))[0, 0]
     assert dist < 60, f"cross-scale Hamming {dist}"
     assert dist < dist_unscaled, (dist, dist_unscaled)
+
+
+def test_conflict_loser_rematches_in_second_round(rng):
+    """Two keyframe sources whose landmarks both best-match the SAME current
+    keypoint: the newer source wins the conflict, and the second batched
+    round re-matches the loser to the remaining in-gate keypoint (the
+    reference's sequential per-source matching gets this for free)."""
+    import jax.numpy as jnp
+
+    from okvis_tpu.cameras import NCameraSystem, pinhole as ph
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig, simulate_trajectory
+    from okvis_tpu.estimator import Estimator
+    from okvis_tpu.frontend.detection import Keypoints
+    from okvis_tpu.frontend.frame import FrameData, MultiFrame
+    from okvis_tpu.frontend.frontend import Frontend, FrontendConfig
+    from okvis_tpu.imu import ImuParams
+    from okvis_tpu.solver import WindowConfig
+
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    cfg = WindowConfig(
+        num_states=9, num_cameras=2, max_landmarks=64, max_observations=256,
+        imu_samples=32, max_imu_links=8, camera_specs=tuple(rig.specs),
+    )
+    est = Estimator(rig, ImuParams.euroc(), cfg=cfg)
+    traj = simulate_trajectory(duration=1.0, seed=3, motion_scale=0.0)
+    sids = []
+    for fi in range(3):
+        idx = fi * 20
+        lo, hi = max(0, idx - 24), idx + 5
+        sids.append(est.add_states(
+            fi * 0.1, traj.ts[lo:hi], traj.gyro[lo:hi], traj.acc[lo:hi],
+            as_keyframe=True,
+        ))
+
+    # two world points ~6 px apart in camera 0 of the current pose
+    T_WS = est.get_T_WS(sids[2])
+    T_WC = kin.compose(T_WS, rig.camera_T_SC(0))
+    p1_C = np.asarray([0.10, 0.05, 4.0])
+    p2_C = np.asarray([0.15, 0.05, 4.0])
+    p1 = np.asarray(kin.transform_point(T_WC, jnp.asarray(p1_C)))
+    p2 = np.asarray(kin.transform_point(T_WC, jnp.asarray(p2_C)))
+    uv1 = np.asarray(ph.project(rig.specs[0], est.intrinsics[0], jnp.asarray(p1_C))[0])
+    uv2 = np.asarray(ph.project(rig.specs[0], est.intrinsics[0], jnp.asarray(p2_C))[0])
+    assert 3.0 < np.linalg.norm(uv1 - uv2) < 40.0
+    L1, L2 = 501, 502
+    est.add_landmark(L1, p1)
+    est.add_landmark(L2, p2)
+
+    K = 16
+    fe = Frontend(rig, FrontendConfig(max_keypoints=K, gate_radius_px=40.0))
+    d0 = rng.integers(0, 2**32, (16,), dtype=np.uint32)
+    d1 = d0.copy()
+    d1[0] ^= np.uint32(0b11)  # 2 bits off: farther than d0, still a match
+
+    def make_frame(mf_id, kp_uvs, descs, lm_ids):
+        frames = []
+        for c in range(2):
+            uv = np.zeros((K, 2))
+            mask = np.zeros(K, bool)
+            dsc = np.zeros((K, 16), np.uint32)
+            lids = np.zeros(K, np.int64)
+            if c == 0:
+                for j, (u, d, l) in enumerate(zip(kp_uvs, descs, lm_ids)):
+                    uv[j], dsc[j], lids[j], mask[j] = u, d, l, True
+            frames.append(FrameData(
+                keypoints=Keypoints(uv=jnp.asarray(uv), score=jnp.ones(K),
+                                    mask=jnp.asarray(mask)),
+                descriptors=jnp.asarray(dsc),
+                landmark_ids=lids,
+            ))
+        return MultiFrame(id=mf_id, timestamp=0.0, frames=frames)
+
+    # both sources carry descriptor d0 on their (only) keypoint
+    src_new = make_frame(sids[1], [uv1], [d0], [L1])   # newer keyframe: L1
+    src_old = make_frame(sids[0], [uv1], [d0], [L2])   # older keyframe: L2
+    cur = make_frame(sids[2], [uv1, uv2], [d0, d1], [0, 0])
+    est.multiframes[sids[0]] = src_old
+    est.multiframes[sids[1]] = src_new
+    est.multiframes[sids[2]] = cur
+
+    n3d = fe._associate_batched(est, [src_new, src_old], cur, T_WS)
+    assert n3d == 2, f"expected both observations, got {n3d}"
+    assert int(cur.frames[0].landmark_ids[0]) == L1  # newest source won kp 0
+    assert int(cur.frames[0].landmark_ids[1]) == L2  # loser recovered kp 1
