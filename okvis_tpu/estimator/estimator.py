@@ -250,6 +250,11 @@ class Estimator:
         # assigns slot l to shard l // (L/n), and each shard's observation
         # block holds only its landmarks' observations): hand out free slots
         # round-robin over the blocks instead of sequentially.
+        self._rebalance_free_lm_slots()
+
+    def _rebalance_free_lm_slots(self) -> None:
+        """Order the free landmark slots so consecutive pops cycle through
+        the shard blocks (keeps per-shard observation load balanced)."""
         n, Ls = self._n_shards, self.cfg.max_landmarks // self._n_shards
         free = set(self._free_lm_slots)
         rr = [b * Ls + i for i in range(Ls) for b in range(n)]
@@ -263,16 +268,13 @@ class Estimator:
         opt = make_sharded_optimizer(
             cfg, self.imu_params, self.intrinsics, self._mesh, axis=axis
         )
-        iters = cfg.max_iterations
 
         def run(problem: BaProblem):
             sharded = shard_problem(problem, self._n_shards)
-            states, (cost, hist) = opt(sharded)
+            states, (cost, hist, acc, lam) = opt(sharded)
             diag = SolveDiagnostics(
-                cost_history=hist,
-                accepted=jnp.ones((iters,), bool),
-                final_cost=cost,
-                final_lambda=jnp.zeros((), states.r_WS.dtype),
+                cost_history=hist, accepted=acc, final_cost=cost,
+                final_lambda=lam,
             )
             return states, diag
 
@@ -914,6 +916,10 @@ class Estimator:
     def _remove_landmark(self, lm_id: int) -> None:
         lm = self.landmarks.pop(lm_id)
         self._free_lm_slots.append(lm.slot)
+        if self._mesh is not None:
+            # keep slot hand-out round-robin over shard blocks as slots churn
+            # (shard_problem sheds per-shard overflow, but balance avoids it)
+            self._rebalance_free_lm_slots()
         self._lm_slot_to_id.pop(lm.slot, None)
         self.observations = [o for o in self.observations if o.lm_id != lm_id]
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .detection import Keypoints, _sep_blur, gaussian_kernel
+from .detection import Keypoints
 
 DESCRIPTOR_BITS = 512
 DESCRIPTOR_WORDS = DESCRIPTOR_BITS // 32

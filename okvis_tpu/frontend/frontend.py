@@ -331,20 +331,28 @@ class Frontend:
             assign = np.asarray(assign)
 
             # ---- host conflict resolution, newest source first ----
+            # a landmark may be carried by several source keyframes: once it
+            # claims a current keypoint, later sources carrying the SAME
+            # landmark must not add a second observation of it in this
+            # frame/camera (one measurement per landmark per image)
+            claimed = {int(l) for l in fb.landmark_ids if l != 0}
+
             def resolve_3d2d(assign_np, collect_losers):
                 nonlocal n3d
                 losers = np.zeros((P, K), bool)
                 for p, src in enumerate(sources):
                     fa = src.frames[cam]
                     for ia in np.nonzero(assign_np[p] >= 0)[0]:
-                        ib = int(assign_np[p, ia])
-                        if not free_b[ib]:
-                            # taken by an earlier (newer) source
-                            if collect_losers:
-                                losers[p, ia] = True
-                            continue
                         lm_id = int(fa.landmark_ids[ia])
                         if lm_id == 0 or not estimator.is_landmark_added(lm_id):
+                            continue
+                        if lm_id in claimed:
+                            continue  # already observed in this frame/camera
+                        ib = int(assign_np[p, ia])
+                        if not free_b[ib]:
+                            # keypoint taken by an earlier (newer) source
+                            if collect_losers:
+                                losers[p, ia] = True
                             continue
                         if not estimator.add_observation(
                             lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
@@ -352,6 +360,7 @@ class Frontend:
                         ):
                             continue  # observation table full
                         frame_b.set_landmark_id(cam, ib, lm_id)
+                        claimed.add(lm_id)
                         free_b[ib] = False
                         n3d += 1
                 return losers

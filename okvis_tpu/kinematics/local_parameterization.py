@@ -94,10 +94,20 @@ class PoseParameterization:
         m[list(self.selection)] = True
         return m
 
-    def verify(self, x: jnp.ndarray, eps: float = 1e-7, tol: float = 1e-5) -> bool:
+    def verify(self, x: jnp.ndarray, eps: float = None, tol: float = None) -> bool:
         """Numeric self-check of plus/minus/plusJacobian consistency
-        (ref LocalParamizationAdditionalInterfaces::verify)."""
+        (ref LocalParamizationAdditionalInterfaces::verify).
+
+        Step/tolerance adapt to the active precision: without
+        jax_enable_x64, jnp arrays are f32 and a 1e-7 central-difference
+        step would vanish below f32 resolution."""
         x = jnp.asarray(x, jnp.float64)
+        if x.dtype == jnp.float64:  # x64 enabled
+            eps = 1e-7 if eps is None else eps
+            tol = 1e-5 if tol is None else tol
+        else:  # silently truncated to f32
+            eps = 3e-4 if eps is None else eps
+            tol = 3e-3 if tol is None else tol
         n = self.local_size
         # plus(x, 0) == x
         if not np.allclose(np.asarray(self.plus(x, jnp.zeros(n, x.dtype))), np.asarray(x), atol=tol):

@@ -40,8 +40,14 @@ from ..solver.structure import BaProblem, WindowConfig, WindowStates
 
 
 def make_mesh(n_devices: int = None, axis: str = "map") -> Mesh:
-    devs = jax.devices()[: n_devices or len(jax.devices())]
-    return Mesh(np.asarray(devs), (axis,))
+    avail = jax.devices()
+    if n_devices is not None and len(avail) < n_devices:
+        raise ValueError(
+            f"requested a {n_devices}-device mesh but only {len(avail)} "
+            f"device(s) are visible (set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count=N for a virtual CPU mesh)"
+        )
+    return Mesh(np.asarray(avail[: n_devices or len(avail)]), (axis,))
 
 
 def make_mesh2d(n_hosts: int, devices_per_host: int) -> Mesh:
@@ -86,7 +92,9 @@ def _template(cfg: WindowConfig):
     return empty_problem(cfg, dtype=jnp.float32)
 
 
-def shard_problem(problem: BaProblem, n_shards: int) -> BaProblem:
+def shard_problem(
+    problem: BaProblem, n_shards: int, on_overflow: str = "drop"
+) -> BaProblem:
     """Re-map observation landmark/table layout so each landmark's
     observations are contiguous in its landmark-shard's observation block.
 
@@ -95,6 +103,14 @@ def shard_problem(problem: BaProblem, n_shards: int) -> BaProblem:
     of shard s, with lm_idx rewritten shard-locally at shard_map entry (the
     partitioned gather indices stay local automatically since both tables are
     sharded contiguously — indices are made shard-relative here).
+
+    Fully vectorized (stable argsort + cumulative within-shard ranks) — no
+    per-observation Python loop on the per-frame path.
+
+    on_overflow: a shard's block holds O/n observations; when one shard's
+    landmarks collectively exceed it, 'drop' sheds the excess observations
+    (warned — matching the pipeline's drop-on-full policies) while 'raise'
+    errors (strict mode for tests).
     """
     import numpy as np
 
@@ -105,22 +121,40 @@ def shard_problem(problem: BaProblem, n_shards: int) -> BaProblem:
     obs = problem.obs
     lm_idx = np.asarray(obs.lm_idx)
     mask = np.asarray(obs.mask)
-    shard_of = lm_idx // Ls
 
-    new = {k: np.array(np.asarray(getattr(obs, k))) for k in obs._fields}
-    # clear all slots
+    idx = np.nonzero(mask)[0]
+    shard = lm_idx[idx] // Ls
+    order = np.argsort(shard, kind="stable")
+    idx, shard = idx[order], shard[order]
+    counts = np.bincount(shard, minlength=n_shards)
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    within = np.arange(len(idx)) - offsets[shard]  # rank inside own shard
+    keep = within < Os
+    if not keep.all():
+        n_drop = int((~keep).sum())
+        if on_overflow == "raise":
+            raise RuntimeError(
+                f"shard observation block overflow ({n_drop} over capacity "
+                f"{Os}/shard)"
+            )
+        import logging
+
+        logging.getLogger("okvis_tpu").warning(
+            "distributed BA: shedding %d observation(s) over the %d/shard "
+            "block capacity", n_drop, Os,
+        )
+        idx, shard, within = idx[keep], shard[keep], within[keep]
+    dst = shard * Os + within
+
+    new = {}
+    for k in obs._fields:
+        src = np.asarray(getattr(obs, k))
+        out = np.zeros_like(src)
+        out[dst] = src[idx]
+        new[k] = out
+    new["lm_idx"][dst] = lm_idx[idx] - shard * Ls  # shard-local index
     new["mask"][:] = False
-    fill = [0] * n_shards
-    for i in np.nonzero(mask)[0]:
-        s = int(shard_of[i])
-        j = s * Os + fill[s]
-        if fill[s] >= Os:
-            raise RuntimeError(f"shard {s} observation block overflow")
-        fill[s] += 1
-        for k in obs._fields:
-            new[k][j] = np.asarray(getattr(obs, k))[i]
-        new["lm_idx"][j] = lm_idx[i] - s * Ls  # shard-local index
-        new["mask"][j] = True
+    new["mask"][dst] = True
     return problem._replace(
         obs=type(obs)(**{k: jnp.asarray(v) for k, v in new.items()})
     )
@@ -214,13 +248,13 @@ def make_sharded_optimizer(
                 lambda a, b: jnp.where(accept, a, b), eqs_cand, eqs
             )
             lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-10, 1e8)
-            return (states_dense, hp, eqs, lam), eqs.cost
+            return (states_dense, hp, eqs, lam), (eqs.cost, accept)
 
-        (states, hp, eqs, lam), hist = jax.lax.scan(
+        (states, hp, eqs, lam), (hist, acc) = jax.lax.scan(
             lm_iter, (states0, hp0, eqs0, lam0), None,
             length=cfg.max_iterations,
         )
-        return states._replace(hp_W=hp), (eqs.cost, hist)
+        return states._replace(hp_W=hp), (eqs.cost, hist, acc, lam)
 
     smapped = shard_map(
         step_body, mesh=mesh, in_specs=(specs,), out_specs=out_spec,

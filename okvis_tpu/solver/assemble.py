@@ -63,7 +63,7 @@ def evaluate_reprojection(
     intrinsics: List[jnp.ndarray],
     obs,
     states: WindowStates,
-    fused: bool = None,
+    fused: bool = False,
 ):
     """Reprojection-factor part of the normal equations.
 
@@ -90,12 +90,10 @@ def evaluate_reprojection(
     # loop+select path (1.43 ms → 7.9 ms per 3-iteration optimize), even
     # though the fused graph does C× less arithmetic. Kept for
     # experimentation and as documentation of the measurement.
-    same_model = (
-        len({(s.dist_type, s.num_intrinsics) for s in cfg.camera_specs[:C]}) == 1
-    )
-    if fused is None:
-        fused = False
     if fused:
+        same_model = (
+            len({(s.dist_type, s.num_intrinsics) for s in cfg.camera_specs[:C]}) == 1
+        )
         assert same_model, "fused reprojection path needs one distortion model"
         spec0 = cfg.camera_specs[0]
         intr_o = jnp.stack(intrinsics)[obs.cam_idx]  # (O, N)

@@ -57,7 +57,7 @@ def test_sharded_matches_single_device(world):
     mesh = make_mesh(8)
     opt = make_sharded_optimizer(cfg, imu_params, intrinsics, mesh)
     sharded = shard_problem(problem, 8)
-    states_sh, (cost_sh, hist) = opt(sharded)
+    states_sh, (cost_sh, hist, _acc, _lam) = opt(sharded)
 
     np.testing.assert_allclose(
         np.asarray(states_sh.r_WS), np.asarray(states_ref.r_WS), atol=1e-8
@@ -107,7 +107,7 @@ def test_multihost_2d_mesh_matches_single_device(world):
         cfg, imu_params, intrinsics, mesh, axis=("host", "map")
     )
     sharded = shard_problem(problem, 8)
-    states_sh, (cost_sh, hist) = opt(sharded)
+    states_sh, (cost_sh, hist, _acc, _lam) = opt(sharded)
 
     np.testing.assert_allclose(
         np.asarray(states_sh.r_WS), np.asarray(states_ref.r_WS), atol=1e-8
@@ -143,3 +143,28 @@ def test_estimator_enable_distributed_matches_single(rng):
             np.asarray(est_b.get_landmark(lm_id)),
             atol=1e-6,
         )
+
+
+def test_shard_problem_overflow_policies(world):
+    """One shard's landmarks exceeding its O/n observation block: 'drop'
+    sheds the excess (keeps solving), 'raise' errors (strict mode)."""
+    import pytest as _pytest
+
+    cfg, imu_params, intrinsics, problem, truth = world
+    O = problem.obs.mask.shape[0]
+    # point EVERY observation at landmark slot 0 -> all land in shard 0
+    obs = problem.obs._replace(lm_idx=jnp.zeros_like(problem.obs.lm_idx))
+    bad = problem._replace(obs=obs)
+    n_active = int(np.asarray(problem.obs.mask).sum())
+    assert n_active > O // 8  # guaranteed overflow at 8 shards
+
+    with _pytest.raises(RuntimeError):
+        shard_problem(bad, 8, on_overflow="raise")
+
+    shed = shard_problem(bad, 8)  # default: drop
+    kept = int(np.asarray(shed.obs.mask).sum())
+    assert kept == O // 8  # exactly one full block survives
+    # all kept observations live in shard 0's block with local indices
+    m = np.asarray(shed.obs.mask)
+    assert not m[O // 8:].any()
+    assert (np.asarray(shed.obs.lm_idx)[m] == 0).all()
