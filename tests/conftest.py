@@ -23,6 +23,13 @@ import jax  # noqa: E402
 # which wins over the env var. Tests run on CPU in f64.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: the suite is compile-dominated on this
+# 2-core box; repeat runs reuse compiled executables
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
