@@ -650,3 +650,53 @@ def test_csv_writers(tmp_path):
     assert len(tr_rows) > 10  # landmark-associated keypoints streamed
     st_rows = open(tmp_path / "state.csv").readlines()
     assert len(st_rows) >= n_frames - 2
+
+
+@pytest.mark.slow
+def test_distributed_plus_loop_closure_soak():
+    """The two new layers together: sharded BA over the virtual mesh AND the
+    pose-graph/loop-closure layer, over a longer run — interaction soak
+    (capacities bounded, tracking maintained)."""
+    params = _make_params()
+    params.optimization.distributed_devices = 8
+    params.posegraph.enabled = True
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    rig.compute_overlaps()
+
+    traj = simulate_trajectory(duration=3.0, seed=21, motion_scale=0.5)
+    lms = make_landmarks(traj, 220, seed=22, radius=(3.0, 10.0))
+
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
+    assert vio.estimator._mesh is not None and vio.posegraph is not None
+    stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
+    install_stub(vio, stub)
+
+    frame_dt, imu_rate, n_frames = 0.1, 200, 26
+    dummy_img = np.zeros((480, 752), np.float32)
+    imu_i = 0
+    for fi in range(n_frames):
+        t_ns = int(fi * frame_dt * NS)
+        idx = int(round(fi * frame_dt * imu_rate))
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            vio.add_imu_measurement(
+                int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i]
+            )
+            imu_i += 1
+        stub.T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        vio.add_image(t_ns, 0, dummy_img)
+        vio.add_image(t_ns, 1, dummy_img)
+        vio.wait_idle(timeout=120)
+
+    est = vio.estimator
+    # capacities bounded throughout
+    assert len(est.states) <= est.cfg.num_states
+    assert len(est.landmarks) <= est.cfg.max_landmarks
+    assert len(est.observations) <= est.cfg.max_observations
+    vio.shutdown()
+    assert len(vio.trajectory) >= n_frames - 3
+    est_ts = np.asarray([s.timestamp_ns for s in vio.trajectory])
+    est_p = np.stack([np.asarray(s.T_WS.r) for s in vio.trajectory])
+    gt_ts = (traj.ts * NS).astype(np.int64)
+    ate = ate_rmse(est_ts, est_p, gt_ts, traj.r)
+    assert ate is not None and ate < 0.06, f"soak ATE {ate}"
