@@ -39,6 +39,7 @@ def run(
     loop_closure: bool = False,
     pose_view: str = None,
     distributed_devices: int = 0,
+    profile_dir: str = None,
 ) -> dict:
     import os as _os
 
@@ -65,19 +66,32 @@ def run(
         viewer = PoseViewer()
         vio.full_state_callback = viewer.publish_full_state_as_callback
 
+    if profile_dir:
+        # device-side observability (SURVEY §5.1): the host-side Timing
+        # registry gives stage walls; jax.profiler gives per-kernel device
+        # time. View with tensorboard / xprof.
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     n_frames = 0
     t_start = time.perf_counter()
     frame_limit = max_frames or 10**9
-    for m in ds.measurements():
-        if isinstance(m, ImuSample):
-            vio.add_imu_measurement(m.timestamp_ns, m.gyro, m.acc)
-        elif isinstance(m, ImageEvent):
-            vio.add_image(m.timestamp_ns, m.cam_idx, m.load())
-            if m.cam_idx == 0:
-                n_frames += 1
-                if n_frames >= frame_limit:
-                    break
-    vio.wait_idle(timeout=600)
+    try:
+        for m in ds.measurements():
+            if isinstance(m, ImuSample):
+                vio.add_imu_measurement(m.timestamp_ns, m.gyro, m.acc)
+            elif isinstance(m, ImageEvent):
+                vio.add_image(m.timestamp_ns, m.cam_idx, m.load())
+                if m.cam_idx == 0:
+                    n_frames += 1
+                    if n_frames >= frame_limit:
+                        break
+        vio.wait_idle(timeout=600)
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
     wall = time.perf_counter() - t_start
     timing_table = vio.shutdown()
 
@@ -136,6 +150,8 @@ def main(argv=None):
                          "(headless PoseViewer analog)")
     ap.add_argument("--distributed", type=int, default=0, metavar="N",
                     help="shard the sliding-window BA over N devices")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler device trace to DIR")
     args = ap.parse_args(argv)
     out = run(
         args.config,
@@ -147,6 +163,7 @@ def main(argv=None):
         loop_closure=args.loop_closure,
         pose_view=args.pose_view,
         distributed_devices=args.distributed,
+        profile_dir=args.profile,
     )
     timing = out.pop("timing")
     print(timing, file=sys.stderr)
