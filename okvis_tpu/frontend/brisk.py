@@ -267,3 +267,49 @@ def detect_and_describe_batch(
     levels = blur_pyramid(images.astype(jnp.float32))  # (C, L, H, W)
     desc = _describe_from_levels(levels, kps.uv, extraction_angles)
     return kps, desc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("threshold", "max_keypoints", "nms_radius", "border",
+                     "octaves", "has_masks"),
+)
+def detect_and_describe_batch_pyramid(
+    images: jnp.ndarray,  # (C, H, W)
+    extraction_angles: jnp.ndarray,  # (C,)
+    masks: jnp.ndarray = None,  # (C, H, W) bool or None
+    threshold: float = 30.0,
+    max_keypoints: int = 400,
+    nms_radius: int = 4,
+    border: int = 20,
+    octaves: int = 2,
+    has_masks: bool = False,
+):
+    """Scale-space (and/or masked) detection + scale-aware description for a
+    whole multiframe in ONE program — the batched form of the per-camera
+    fallback path. Returns (Keypoints (C,K,...), sizes (C,K), desc (C,K,16))."""
+    from .detection import detect_keypoints, detect_keypoints_pyramid
+
+    def one(img, mask):
+        if octaves > 0:
+            return detect_keypoints_pyramid(
+                img, threshold=threshold, max_keypoints=max_keypoints,
+                nms_radius=nms_radius, border=border, octaves=octaves,
+                mask=mask,
+            )
+        kps = detect_keypoints(
+            img, threshold=threshold, max_keypoints=max_keypoints,
+            nms_radius=nms_radius, border=border, mask=mask,
+        )
+        return kps, jnp.full((max_keypoints,), 8.0, img.dtype)
+
+    if has_masks:
+        kps, sizes = jax.vmap(one)(images, masks)
+    else:
+        kps, sizes = jax.vmap(lambda im: one(im, None))(images)
+    levels = blur_pyramid(images.astype(jnp.float32))
+    desc = _describe_from_levels(
+        levels, kps.uv, extraction_angles,
+        sizes if octaves > 0 else None,
+    )
+    return kps, sizes, desc

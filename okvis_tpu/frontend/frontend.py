@@ -125,21 +125,6 @@ class Frontend:
         from .brisk import detect_and_describe_batch
 
         C = len(images)
-        if self.cfg.detection_octaves > 0 or self.cfg.detection_masks is not None:
-            # scale-space / masked path: per-camera detection (not yet batched)
-            out = []
-            for c in range(C):
-                T_WC = (
-                    kin.compose(
-                        T_WS, kin.SE3(r=self.rig.T_SC.r[c], q=self.rig.T_SC.q[c])
-                    )
-                    if T_WS is not None
-                    else None
-                )
-                out.append(
-                    self.detect_and_describe(c, jnp.asarray(images[c], jnp.float32), T_WC)
-                )
-            return out
         angles = np.zeros(C, np.float32)
         if T_WS is not None:
             for c in range(C):
@@ -149,12 +134,34 @@ class Frontend:
                 )
                 angles[c] = float(gravity_extraction_angle(g_C))
         stack = jnp.stack([jnp.asarray(im, jnp.float32) for im in images])
-        kps_b, desc_b = detect_and_describe_batch(
-            stack,
-            jnp.asarray(angles),
-            threshold=self.cfg.detection_threshold,
-            max_keypoints=self.cfg.max_keypoints,
-        )
+        if self.cfg.detection_octaves > 0 or self.cfg.detection_masks is not None:
+            # scale-space / masked path, batched over cameras in one program
+            from .brisk import detect_and_describe_batch_pyramid
+
+            has_masks = self.cfg.detection_masks is not None
+            masks = (
+                jnp.stack([jnp.asarray(m, bool) for m in self.cfg.detection_masks])
+                if has_masks
+                else None
+            )
+            kps_b, sizes_b, desc_b = detect_and_describe_batch_pyramid(
+                stack,
+                jnp.asarray(angles),
+                masks,
+                threshold=self.cfg.detection_threshold,
+                max_keypoints=self.cfg.max_keypoints,
+                octaves=self.cfg.detection_octaves,
+                has_masks=has_masks,
+            )
+            sizes_np = np.asarray(sizes_b) if self.cfg.detection_octaves > 0 else None
+        else:
+            kps_b, desc_b = detect_and_describe_batch(
+                stack,
+                jnp.asarray(angles),
+                threshold=self.cfg.detection_threshold,
+                max_keypoints=self.cfg.max_keypoints,
+            )
+            sizes_np = None
         out = []
         for c in range(C):
             out.append(
@@ -163,6 +170,7 @@ class Frontend:
                     descriptors=desc_b[c],
                     landmark_ids=np.zeros(self.cfg.max_keypoints, np.int64),
                     image=stack[c],
+                    sizes=None if sizes_np is None else sizes_np[c],
                 )
             )
         return out

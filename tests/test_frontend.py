@@ -510,3 +510,37 @@ def test_conflict_loser_rematches_in_second_round(rng):
     assert n3d == 2, f"expected both observations, got {n3d}"
     assert int(cur.frames[0].landmark_ids[0]) == L1  # newest source won kp 0
     assert int(cur.frames[0].landmark_ids[1]) == L2  # loser recovered kp 1
+
+
+def test_batched_pyramid_multi_matches_per_camera(rng):
+    """detect_and_describe_multi's batched scale-space path equals the
+    per-camera detect_and_describe fallback (same keypoints, sizes,
+    descriptors) for a 2-camera multiframe with octaves=2."""
+    import jax.numpy as jnp
+
+    from okvis_tpu.cameras import NCameraSystem
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig
+    from okvis_tpu.frontend.frontend import Frontend, FrontendConfig
+
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    fe = Frontend(rig, FrontendConfig(
+        detection_threshold=8.0, detection_octaves=2, max_keypoints=64,
+    ))
+    imgs = [rng.uniform(0, 255, (120, 160)).astype(np.float32) for _ in range(2)]
+
+    batched = fe.detect_and_describe_multi(imgs, T_WS=None)
+    for c in range(2):
+        single = fe.detect_and_describe(c, jnp.asarray(imgs[c]), None)
+        np.testing.assert_allclose(
+            np.asarray(batched[c].keypoints.uv), np.asarray(single.keypoints.uv),
+            atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batched[c].keypoints.mask), np.asarray(single.keypoints.mask)
+        )
+        np.testing.assert_allclose(batched[c].sizes, np.asarray(single.sizes))
+        m = np.asarray(single.keypoints.mask)
+        assert (
+            np.asarray(batched[c].descriptors)[m] == np.asarray(single.descriptors)[m]
+        ).all()
