@@ -317,14 +317,12 @@ class Estimator:
         if "lmq" not in self._jit_cache:
 
             def lm_quality(problem):
+                from ..solver.optimize import _landmark_quality
+
                 eqs = evaluate(
                     self.cfg, self.imu_params, self.intrinsics, problem, problem.states
                 )
-                w = jnp.linalg.eigvalsh(eqs.H_ll)  # (L, 3) ascending
-                quality = jnp.where(
-                    w[:, 0] < 1e-12, 0.0, jnp.sqrt(w[:, 0]) / jnp.sqrt(jnp.maximum(w[:, 2], 1e-300))
-                )
-                return quality
+                return _landmark_quality(eqs.H_ll)
 
             self._jit_cache["lmq"] = jax.jit(lm_quality)
         return self._jit_cache["lmq"]
@@ -697,7 +695,15 @@ class Estimator:
             self.r_SC = np.array(states.r_SC)
             self.q_SC = np.array(states.q_SC)
         # landmark quality (Estimator.cpp:880-900)
-        quality = np.asarray(self._landmark_quality_fn(problem._replace(states=states)))
+        # single-device solves carry the quality out of the final normal
+        # equations (no extra evaluate/dispatch); the sharded path keeps the
+        # separate pass (H_ll is shard-local inside its shard_map)
+        if diag.landmark_quality is not None:
+            quality = np.asarray(diag.landmark_quality)
+        else:
+            quality = np.asarray(
+                self._landmark_quality_fn(problem._replace(states=states))
+            )
         for lm in self.landmarks.values():
             lm.quality = float(quality[lm.slot])
             # a landmark becomes initialized once its 3x3 Hessian is

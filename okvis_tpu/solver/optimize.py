@@ -29,6 +29,49 @@ class SolveDiagnostics(NamedTuple):
     accepted: jnp.ndarray  # (iters,) bool
     final_cost: jnp.ndarray
     final_lambda: jnp.ndarray
+    # (L,) landmark quality sqrt(λmin/λmax) of the 3×3 landmark Hessians at
+    # the final iterate (ref Estimator.cpp:880-900) — comes free from the
+    # carried normal equations, saving the separate re-evaluation pass.
+    landmark_quality: jnp.ndarray = None
+
+
+def _sym3x3_eig_extremes(A: jnp.ndarray):
+    """(λmin, λmax) of batched symmetric 3×3 matrices, closed form
+    (trigonometric / Smith's method) — pure elementwise VPU ops; the LAPACK
+    -style jnp.linalg.eigvalsh on (L,3,3) costs ~0.5 ms per call on TPU and
+    was 18% of the whole optimize step."""
+    a00, a11, a22 = A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]
+    a01, a02, a12 = A[..., 0, 1], A[..., 0, 2], A[..., 1, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    ps = jnp.where(p > 0.0, p, 1.0)
+    b00, b11, b22 = (a00 - q) / ps, (a11 - q) / ps, (a22 - q) / ps
+    b01, b02, b12 = a01 / ps, a02 / ps, a12 / ps
+    detB = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_max = q + 2.0 * p * jnp.cos(phi)
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    # p == 0: A = q·I, all eigenvalues equal q
+    lam_max = jnp.where(p > 0.0, lam_max, q)
+    lam_min = jnp.where(p > 0.0, lam_min, q)
+    return lam_min, lam_max
+
+
+def _landmark_quality(H_ll: jnp.ndarray) -> jnp.ndarray:
+    lam_min, lam_max = _sym3x3_eig_extremes(H_ll)
+    return jnp.where(
+        lam_min < 1e-12,
+        0.0,
+        jnp.sqrt(jnp.maximum(lam_min, 0.0))
+        / jnp.sqrt(jnp.maximum(lam_max, 1e-300)),
+    )
 
 
 def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -281,7 +324,8 @@ def optimize_window_dogleg(
         step, (states0, eqs0, radius0), None, length=cfg.max_iterations
     )
     return states, SolveDiagnostics(
-        cost_history=hist, accepted=acc, final_cost=eqs.cost, final_lambda=radius
+        cost_history=hist, accepted=acc, final_cost=eqs.cost,
+        final_lambda=radius, landmark_quality=_landmark_quality(eqs.H_ll),
     )
 
 
@@ -335,7 +379,8 @@ def optimize_window(
         step, (states0, eqs0, lam0), None, length=cfg.max_iterations
     )
     return states, SolveDiagnostics(
-        cost_history=hist, accepted=acc, final_cost=eqs.cost, final_lambda=lam
+        cost_history=hist, accepted=acc, final_cost=eqs.cost,
+        final_lambda=lam, landmark_quality=_landmark_quality(eqs.H_ll),
     )
 
 
