@@ -39,7 +39,6 @@ from .detection import detect_keypoints
 from .frame import FrameData, MultiFrame
 from .keyframe import need_new_keyframe
 from . import kernels
-from .ransac import ransac_absolute_pose
 
 
 @dataclasses.dataclass
@@ -621,16 +620,15 @@ class Frontend:
                 pts[k] = hp[:3] / hp[3]
             if sel.sum() < 8:
                 continue
-            bear = kernels.back_project_batch(
-                self.rig.specs[cam], estimator.intrinsics[cam], f.keypoints.uv
-            )
-            res = ransac_absolute_pose(
+            res = kernels.ransac_3d2d_px(
                 self._next_key(),
+                self.rig.specs[cam],
+                estimator.intrinsics[cam],
                 jnp.asarray(pts),
-                bear,
+                f.keypoints.uv,
                 jnp.asarray(sel),
-                focal=float(estimator.intrinsics[cam][0]),
-                threshold_px2=self.cfg.ransac_threshold_px2,
+                float(estimator.intrinsics[cam][0]),
+                self.cfg.ransac_threshold_px2,
             )
             if not bool(res.success):
                 continue
@@ -651,7 +649,7 @@ class Frontend:
         """Rotation-only vs relative-pose RANSAC over shared-landmark
         correspondences between an older frame A and the current frame B
         (ref runRansac2d2d, Frontend.cpp:645-810). Returns rotationOnly."""
-        from .ransac import decompose_essential, ransac_relative_pose, ransac_rotation_only
+        from .ransac import decompose_essential
 
         rotation_only_out = True
         for cam in range(frame_b.num_cameras):
@@ -677,18 +675,15 @@ class Frontend:
                 mask[j] = True
             spec = self.rig.specs[cam]
             intr = estimator.intrinsics[cam]
-            bear_a = kernels.back_project_batch(spec, intr, jnp.asarray(uv_a))
-            bear_b = kernels.back_project_batch(spec, intr, jnp.asarray(uv_b))
             focal = float(intr[0])
             n_corr = len(pairs[:K])
 
-            rot = ransac_rotation_only(
-                self._next_key(), bear_a, bear_b, jnp.asarray(mask), focal=focal,
-                threshold_px2=self.cfg.ransac_threshold_px2,
-            )
-            rel = ransac_relative_pose(
-                self._next_key(), bear_a, bear_b, jnp.asarray(mask), focal=focal,
-                threshold_px2=self.cfg.ransac_threshold_px2,
+            # one launch: back-project both frames + rotation-only AND
+            # relative-pose RANSAC (same key order as the sequential calls)
+            rot, rel, bear_a, bear_b = kernels.ransac_2d2d_px(
+                self._next_key(), self._next_key(), spec, intr,
+                jnp.asarray(uv_a), jnp.asarray(uv_b), jnp.asarray(mask),
+                focal, self.cfg.ransac_threshold_px2,
             )
             rot_ratio = int(rot.num_inliers) / n_corr
             rel_ratio = int(rel.num_inliers) / n_corr

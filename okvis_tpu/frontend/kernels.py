@@ -176,3 +176,52 @@ def triangulate_pair_batches(
         )
 
     return jax.vmap(one)(T_WC_a, T_WC_b, uv_a, uv_b, pair_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def ransac_3d2d_px(
+    key,
+    spec: CameraSpec,
+    intrinsics: jnp.ndarray,
+    points_W: jnp.ndarray,  # (K, 3)
+    uv: jnp.ndarray,  # (K, 2) pixels
+    sel: jnp.ndarray,  # (K,) bool
+    focal,
+    threshold_px2,
+):
+    """back-project + absolute-pose RANSAC in ONE launch (was two per
+    camera per frame on the hot path)."""
+    from .ransac import ransac_absolute_pose
+
+    bear = back_project_batch(spec, intrinsics, uv)
+    return ransac_absolute_pose(
+        key, points_W, bear, sel, focal=focal, threshold_px2=threshold_px2
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def ransac_2d2d_px(
+    key_rot,
+    key_rel,
+    spec: CameraSpec,
+    intrinsics: jnp.ndarray,
+    uv_a: jnp.ndarray,  # (K, 2)
+    uv_b: jnp.ndarray,  # (K, 2)
+    mask: jnp.ndarray,  # (K,)
+    focal,
+    threshold_px2,
+):
+    """back-project both frames + rotation-only AND relative-pose RANSAC in
+    ONE launch (was four). Returns (rot_result, rel_result, bear_a, bear_b)
+    — bearings feed the essential-matrix decomposition on init."""
+    from .ransac import ransac_relative_pose, ransac_rotation_only
+
+    bear_a = back_project_batch(spec, intrinsics, uv_a)
+    bear_b = back_project_batch(spec, intrinsics, uv_b)
+    rot = ransac_rotation_only(
+        key_rot, bear_a, bear_b, mask, focal=focal, threshold_px2=threshold_px2
+    )
+    rel = ransac_relative_pose(
+        key_rel, bear_a, bear_b, mask, focal=focal, threshold_px2=threshold_px2
+    )
+    return rot, rel, bear_a, bear_b
