@@ -279,31 +279,36 @@ class Frontend:
         T_WS_b: kin.SE3,
     ) -> int:
         """3D-2D + 2D-2D association of all source frames against the current
-        frame with ONE kernel launch per phase per camera (the batched form
-        of matchToKeyframes + matchToLastFrame, Frontend.cpp:153-233).
+        frame in ONE fused kernel launch for the whole rig (the batched form
+        of matchToKeyframes + matchToLastFrame, Frontend.cpp:153-233): gated
+        3D-2D assignment, 2D-2D assignment of the leftovers, and
+        triangulation of every 2D-2D match all run in a single XLA program
+        (kernels.associate_multicam), fetched with one device_get. Mixed
+        camera models fall back to one fused launch per camera.
 
         Conflicts (two sources matching the same current keypoint) are
-        resolved on the host in source order — newest keyframe wins. Unlike
-        the sequential per-source path, a losing source's match is dropped
-        rather than re-matched to its next-best keypoint (rare under the
-        gate radius; a second batched round could recover these — round-2
-        note)."""
+        resolved on the host in source order — newest keyframe wins; losers
+        re-match against the remaining free keypoints in a rare second
+        batched round (the reference's sequential per-source matching gets
+        this for free)."""
         cfg = self.cfg
         K = cfg.max_keypoints
         P = len(sources)
+        C = frame_b.num_cameras
         n3d = 0
-        for cam in range(frame_b.num_cameras):
-            fb = frame_b.frames[cam]
-            mask_b = np.asarray(fb.keypoints.mask)
-            uv_b_np = np.asarray(fb.keypoints.uv)
-            free_b = mask_b & (fb.landmark_ids == 0)
 
-            # ---- stack per-source 3D-2D inputs ----
-            desc_a = []
-            sel_a = np.zeros((P, K), bool)
-            hp_rows = np.tile(np.asarray([0.0, 0, 0, 1.0]), (P, K, 1))
-            for p, src in enumerate(sources):
-                fa = src.frames[cam]
+        # ---------- build (P, C, ...) inputs for the fused launch ----------
+        mask_b_np = [np.asarray(frame_b.frames[c].keypoints.mask) for c in range(C)]
+        uv_b_all = [np.asarray(frame_b.frames[c].keypoints.uv) for c in range(C)]
+        free_b_np = [
+            mask_b_np[c] & (frame_b.frames[c].landmark_ids == 0) for c in range(C)
+        ]
+        sel_a = np.zeros((P, C, K), bool)
+        hp_rows = np.tile(np.asarray([0.0, 0, 0, 1.0]), (P, C, K, 1))
+        free2_a = np.zeros((P, C, K), bool)
+        for p, src in enumerate(sources):
+            for c in range(C):
+                fa = src.frames[c]
                 m_a = np.asarray(fa.keypoints.mask)
                 for i in np.nonzero(fa.landmark_ids != 0)[0]:
                     lm_id = int(fa.landmark_ids[i])
@@ -311,31 +316,111 @@ class Frontend:
                         fa.landmark_ids[i] = 0
                         continue
                     if m_a[i]:
-                        sel_a[p, i] = True
-                        hp_rows[p, i] = estimator.hp_W[
+                        sel_a[p, c, i] = True
+                        hp_rows[p, c, i] = estimator.hp_W[
                             estimator.landmarks[lm_id].slot
                         ]
-                desc_a.append(fa.descriptors)
-            desc_a = jnp.stack(desc_a)
+                free2_a[p, c] = m_a & (fa.landmark_ids == 0)
 
-            T_CW = kin.inverse(self._frame_T_WC(estimator, T_WS_b, cam))
-            T_CW_b = kin.SE3(
-                r=jnp.tile(T_CW.r[None], (P, 1)), q=jnp.tile(T_CW.q[None], (P, 1))
-            )
-            assign, _gate = kernels.gated_match_pairs(
-                self.rig.specs[cam],
-                estimator.intrinsics[cam],
-                desc_a,
+        desc_a_j = jnp.stack(
+            [jnp.stack([src.frames[c].descriptors for c in range(C)]) for src in sources]
+        )  # (P, C, K, 16)
+        uv_a_j = jnp.stack(
+            [jnp.stack([src.frames[c].keypoints.uv for c in range(C)]) for src in sources]
+        )  # (P, C, K, 2)
+        desc_b_j = jnp.stack([frame_b.frames[c].descriptors for c in range(C)])
+        uv_b_j = jnp.stack([frame_b.frames[c].keypoints.uv for c in range(C)])
+
+        # transforms built on host (pose state lives in numpy — no device chatter)
+        from ..kinematics import np_se3
+
+        r_b = np.asarray(T_WS_b.r, np.float64)
+        q_b = np.asarray(T_WS_b.q, np.float64)
+        T_WC_b_list = [
+            np_se3.compose(r_b, q_b, estimator.r_SC[c], estimator.q_SC[c])
+            for c in range(C)
+        ]
+        T_CW_list = [np_se3.inverse(t[0], t[1]) for t in T_WC_b_list]
+        src_slots = [estimator.states[src.id].slot for src in sources]
+        T_WC_a_list = [
+            [
+                np_se3.compose(
+                    estimator.r_WS[s], estimator.q_WS[s],
+                    estimator.r_SC[c], estimator.q_SC[c],
+                )
+                for c in range(C)
+            ]
+            for s in src_slots
+        ]
+        T_CW_j = kin.SE3(
+            r=jnp.asarray(np.stack([t[0] for t in T_CW_list])),
+            q=jnp.asarray(np.stack([t[1] for t in T_CW_list])),
+        )
+        T_WC_b_stk = kin.SE3(
+            r=jnp.asarray(np.stack([t[0] for t in T_WC_b_list])),
+            q=jnp.asarray(np.stack([t[1] for t in T_WC_b_list])),
+        )
+        T_WC_a_stk = kin.SE3(
+            r=jnp.asarray(np.stack([[t[0] for t in row] for row in T_WC_a_list])),
+            q=jnp.asarray(np.stack([[t[1] for t in row] for row in T_WC_a_list])),
+        )
+
+        uniform = len(set(self.rig.specs[:C])) == 1
+        if uniform:
+            out = kernels.associate_multicam(
+                self.rig.specs[0],
+                jnp.stack(estimator.intrinsics[:C]),
+                desc_a_j,
                 jnp.asarray(sel_a),
                 jnp.asarray(hp_rows),
-                T_CW_b,
-                fb.descriptors,
-                jnp.asarray(free_b),
-                fb.keypoints.uv,
+                jnp.asarray(free2_a),
+                uv_a_j,
+                T_CW_j,
+                T_WC_a_stk,
+                T_WC_b_stk,
+                desc_b_j,
+                jnp.asarray(np.stack(free_b_np)),
+                uv_b_j,
                 jnp.asarray(cfg.gate_radius_px),
                 threshold=cfg.matching_threshold,
             )
-            assign = np.asarray(assign)
+            assign3_all, assign2_all, hp_all, val_all, par_all = jax.device_get(out)
+        else:
+            # mixed camera models: one fused launch per camera
+            parts = []
+            for c in range(C):
+                parts.append(
+                    kernels.associate_onecam(
+                        self.rig.specs[c],
+                        estimator.intrinsics[c],
+                        desc_a_j[:, c],
+                        jnp.asarray(sel_a[:, c]),
+                        jnp.asarray(hp_rows[:, c]),
+                        jnp.asarray(free2_a[:, c]),
+                        uv_a_j[:, c],
+                        kin.SE3(r=T_CW_j.r[c], q=T_CW_j.q[c]),
+                        kin.SE3(r=T_WC_a_stk.r[:, c], q=T_WC_a_stk.q[:, c]),
+                        kin.SE3(r=T_WC_b_stk.r[c], q=T_WC_b_stk.q[c]),
+                        desc_b_j[c],
+                        jnp.asarray(free_b_np[c]),
+                        uv_b_j[c],
+                        jnp.asarray(cfg.gate_radius_px),
+                        threshold=cfg.matching_threshold,
+                    )
+                )
+            fetched = jax.device_get(parts)
+            assign3_all = np.stack([f[0] for f in fetched], axis=1)
+            assign2_all = np.stack([f[1] for f in fetched], axis=1)
+            hp_all = np.stack([f[2] for f in fetched], axis=1)
+            val_all = np.stack([f[3] for f in fetched], axis=1)
+            par_all = np.stack([f[4] for f in fetched], axis=1)
+
+        # ---------- host resolution, camera by camera ----------
+        for cam in range(C):
+            fb = frame_b.frames[cam]
+            uv_b_np = uv_b_all[cam]
+            free_b = free_b_np[cam]
+            assign = assign3_all[:, cam]
 
             # ---- host conflict resolution, newest source first ----
             # a landmark may be carried by several source keyframes: once it
@@ -378,12 +463,16 @@ class Frontend:
             # per-source matching gets this for free; one extra batched
             # launch restores it, only on frames that had conflicts) ----
             if losers.any() and free_b.any():
+                T_CW_b = kin.SE3(
+                    r=jnp.tile(T_CW_j.r[cam][None], (P, 1)),
+                    q=jnp.tile(T_CW_j.q[cam][None], (P, 1)),
+                )
                 assign_r, _ = kernels.gated_match_pairs(
                     self.rig.specs[cam],
                     estimator.intrinsics[cam],
-                    desc_a,
+                    desc_a_j[:, cam],
                     jnp.asarray(losers),
-                    jnp.asarray(hp_rows),
+                    jnp.asarray(hp_rows[:, cam]),
                     T_CW_b,
                     fb.descriptors,
                     jnp.asarray(free_b),
@@ -393,95 +482,37 @@ class Frontend:
                 )
                 resolve_3d2d(np.asarray(assign_r), collect_losers=False)
 
-            # ---- 2D-2D: one batched plain match over the remaining free ----
-            free_a = np.zeros((P, K), bool)
-            for p, src in enumerate(sources):
-                fa = src.frames[cam]
-                free_a[p] = np.asarray(fa.keypoints.mask) & (fa.landmark_ids == 0)
-            if not free_a.any() or not free_b.any():
-                continue
-            assign2 = np.asarray(
-                kernels.plain_match_pairs(
-                    desc_a,
-                    jnp.asarray(free_a),
-                    fb.descriptors,
-                    jnp.asarray(free_b),
-                    threshold=cfg.matching_threshold,
-                )
-            )
-
-            # gather matched pairs per source for one batched triangulation
-            uv_a_b = np.zeros((P, K, 2))
-            uv_b_b = np.zeros((P, K, 2))
-            pmask = np.zeros((P, K), bool)
-            pair_idx = [[] for _ in range(P)]
+            # ---- 2D-2D: assignments + triangulations precomputed in the
+            # fused launch; resolve conflicts and create landmarks ----
+            assign2 = assign2_all[:, cam]
             taken_b = ~free_b
             for p, src in enumerate(sources):
                 fa = src.frames[cam]
                 uva = np.asarray(fa.keypoints.uv)
-                j = 0
                 for ia in np.nonzero(assign2[p] >= 0)[0]:
                     ib = int(assign2[p, ia])
                     if taken_b[ib]:
                         continue
                     taken_b[ib] = True  # one landmark per current keypoint
-                    uv_a_b[p, j] = uva[ia]
-                    uv_b_b[p, j] = uv_b_np[ib]
-                    pmask[p, j] = True
-                    pair_idx[p].append((int(ia), ib))
-                    j += 1
-            if not pmask.any():
-                continue
-            T_WC_a_list = [
-                self._frame_T_WC(estimator, src.id, cam) for src in sources
-            ]
-            T_WC_a = kin.SE3(
-                r=jnp.stack([T.r for T in T_WC_a_list]),
-                q=jnp.stack([T.q for T in T_WC_a_list]),
-            )
-            T_WC_b_cur = self._frame_T_WC(estimator, T_WS_b, cam)
-            T_WC_b_b = kin.SE3(
-                r=jnp.tile(T_WC_b_cur.r[None], (P, 1)),
-                q=jnp.tile(T_WC_b_cur.q[None], (P, 1)),
-            )
-            hp_b, valid_b, par_b = kernels.triangulate_pair_batches(
-                self.rig.specs[cam],
-                self.rig.specs[cam],
-                estimator.intrinsics[cam],
-                estimator.intrinsics[cam],
-                T_WC_a,
-                T_WC_b_b,
-                jnp.asarray(uv_a_b),
-                jnp.asarray(uv_b_b),
-                jnp.asarray(pmask),
-            )
-            hp_b = np.asarray(hp_b)
-            ok_b = np.asarray(valid_b)
-            par_np = np.asarray(par_b)
-            for p, src in enumerate(sources):
-                fa = src.frames[cam]
-                uva = np.asarray(fa.keypoints.uv)
-                for j, (ia, ib) in enumerate(pair_idx[p]):
-                    if not ok_b[p, j]:
+                    if not val_all[p, cam, ia]:
                         continue
-                    if frame_b.frames[cam].landmark_ids[ib] != 0:
+                    if fb.landmark_ids[ib] != 0:
                         continue
                     if fa.landmark_ids[ia] != 0:
                         continue
-                    w = hp_b[p, j, 3]
+                    hp = hp_all[p, cam, ia]
+                    w = hp[3]
                     lm_id = IdProvider.new_id()
                     try:
-                        if par_np[p, j] or abs(w) < 1e-6:
-                            estimator.add_landmark(
-                                lm_id, hp_b[p, j], initialized=False
-                            )
+                        if par_all[p, cam, ia] or abs(w) < 1e-6:
+                            estimator.add_landmark(lm_id, hp, initialized=False)
                         else:
-                            estimator.add_landmark(lm_id, hp_b[p, j, :3] / w)
+                            estimator.add_landmark(lm_id, hp[:3] / w)
                     except RuntimeError:
                         break  # landmark table full
                     ok1 = estimator.add_observation(
-                        lm_id, src.id, cam, uva[ia], keypoint_idx=ia,
-                        size=fa.keypoint_size(ia),
+                        lm_id, src.id, cam, uva[ia], keypoint_idx=int(ia),
+                        size=fa.keypoint_size(int(ia)),
                     )
                     ok2 = ok1 and estimator.add_observation(
                         lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
@@ -503,71 +534,11 @@ class Frontend:
             return kin.compose(state_or_T, T_SC)
         return kin.compose(estimator.get_T_WS(state_or_T), T_SC)
 
-    def _triangulate_and_add(
-        self, estimator, frame_a, frame_b, cam_a, cam_b, matches, T_WC_a, T_WC_b
-    ) -> int:
-        """Triangulate matched pairs and create landmarks (ref setBestMatch
-        2D-2D path). frame_a/b may be the same multiframe (stereo)."""
-        fa, fb = frame_a.frames[cam_a], frame_b.frames[cam_b]
-        K = self.cfg.max_keypoints
-        uv_a = np.zeros((K, 2))
-        uv_b = np.zeros((K, 2))
-        pmask = np.zeros(K, bool)
-        n = min(len(matches), K)
-        uva_np, uvb_np = np.asarray(fa.keypoints.uv), np.asarray(fb.keypoints.uv)
-        for j, (ia, ib) in enumerate(matches[:n]):
-            uv_a[j] = uva_np[ia]
-            uv_b[j] = uvb_np[ib]
-            pmask[j] = True
-        hp, valid, parallel = kernels.triangulate_pairs(
-            self.rig.specs[cam_a],
-            self.rig.specs[cam_b],
-            estimator.intrinsics[cam_a],
-            estimator.intrinsics[cam_b],
-            T_WC_a,
-            T_WC_b,
-            jnp.asarray(uv_a),
-            jnp.asarray(uv_b),
-            jnp.asarray(pmask),
-        )
-        ok = np.asarray(valid)
-        par = np.asarray(parallel)
-        hp = np.asarray(hp)
-        added = 0
-        for j in np.nonzero(ok[:n])[0]:
-            w = hp[j, 3]
-            ia, ib = matches[j]
-            lm_id = IdProvider.new_id()
-            try:
-                if par[j] or abs(w) < 1e-6:
-                    # parallel rays: point at infinity (w≈1e-3), kept as an
-                    # uninitialized landmark constraining rotation only
-                    # (ref triangulateFast parallel path + landmark
-                    # initialized flag)
-                    estimator.add_landmark(lm_id, hp[j], initialized=False)
-                else:
-                    estimator.add_landmark(lm_id, hp[j, :3] / w)
-            except RuntimeError:
-                break  # landmark table full
-            ok1 = estimator.add_observation(
-                lm_id, frame_a.id, cam_a, uva_np[ia], keypoint_idx=ia,
-                size=fa.keypoint_size(ia),
-            )
-            ok2 = ok1 and estimator.add_observation(
-                lm_id, frame_b.id, cam_b, uvb_np[ib], keypoint_idx=ib,
-                size=fb.keypoint_size(ib),
-            )
-            if not ok2:
-                estimator._remove_landmark(lm_id)
-                break
-            frame_a.set_landmark_id(cam_a, ia, lm_id)
-            frame_b.set_landmark_id(cam_b, ib, lm_id)
-            added += 1
-        return added
-
     def _match_stereo(self, estimator, multiframe, T_WS):
         """Intra-multiframe matching across overlapping camera pairs
-        (Frontend.cpp:521-572)."""
+        (Frontend.cpp:521-572). Matching AND triangulation of every match
+        run in one launch per pair (kernels.stereo_match_triangulate); the
+        host only resolves conflicts and creates landmarks."""
         C = multiframe.num_cameras
         for ca in range(C):
             for cb in range(ca + 1, C):
@@ -578,37 +549,71 @@ class Frontend:
                 free_b = np.asarray(fb.keypoints.mask) & (fb.landmark_ids == 0)
                 if not free_a.any() or not free_b.any():
                     continue
-                assign = np.asarray(
-                    kernels.plain_match(
+                T_WC_a = kin.compose(T_WS, estimator.get_extrinsics(ca))
+                T_WC_b = kin.compose(T_WS, estimator.get_extrinsics(cb))
+                assign, hp, valid, par = jax.device_get(
+                    kernels.stereo_match_triangulate(
+                        self.rig.specs[ca],
+                        self.rig.specs[cb],
+                        estimator.intrinsics[ca],
+                        estimator.intrinsics[cb],
                         fa.descriptors,
                         fb.descriptors,
                         jnp.asarray(free_a),
                         jnp.asarray(free_b),
+                        fa.keypoints.uv,
+                        fb.keypoints.uv,
+                        T_WC_a,
+                        T_WC_b,
                         threshold=self.cfg.matching_threshold,
                     )
                 )
-                matches = [
-                    (int(ia), int(assign[ia])) for ia in np.nonzero(assign >= 0)[0]
-                ]
-                if not matches:
-                    continue
-                T_WC_a = kin.compose(T_WS, estimator.get_extrinsics(ca))
-                T_WC_b = kin.compose(T_WS, estimator.get_extrinsics(cb))
-                self._triangulate_and_add(
-                    estimator, multiframe, multiframe, ca, cb, matches, T_WC_a, T_WC_b
-                )
+                uva_np = np.asarray(fa.keypoints.uv)
+                uvb_np = np.asarray(fb.keypoints.uv)
+                for ia in np.nonzero((assign >= 0) & valid)[0]:
+                    ib = int(assign[ia])
+                    ia = int(ia)
+                    if fa.landmark_ids[ia] != 0 or fb.landmark_ids[ib] != 0:
+                        continue
+                    w = hp[ia, 3]
+                    lm_id = IdProvider.new_id()
+                    try:
+                        if par[ia] or abs(w) < 1e-6:
+                            # parallel rays: point at infinity (w≈1e-3), kept
+                            # as an uninitialized landmark constraining
+                            # rotation only (ref triangulateFast parallel path)
+                            estimator.add_landmark(lm_id, hp[ia], initialized=False)
+                        else:
+                            estimator.add_landmark(lm_id, hp[ia, :3] / w)
+                    except RuntimeError:
+                        break  # landmark table full
+                    ok1 = estimator.add_observation(
+                        lm_id, multiframe.id, ca, uva_np[ia], keypoint_idx=ia,
+                        size=fa.keypoint_size(ia),
+                    )
+                    ok2 = ok1 and estimator.add_observation(
+                        lm_id, multiframe.id, cb, uvb_np[ib], keypoint_idx=ib,
+                        size=fb.keypoint_size(ib),
+                    )
+                    if not ok2:
+                        estimator._remove_landmark(lm_id)
+                        break
+                    multiframe.set_landmark_id(ca, ia, lm_id)
+                    multiframe.set_landmark_id(cb, ib, lm_id)
 
     # ------------------------------------------------------------------
     def _ransac_3d2d(self, estimator, multiframe, T_WS):
         """Absolute-pose RANSAC over the frame's 3D-2D associations; outlier
         observations are removed (ref runRansac3d2d, Frontend.cpp:575-642).
 
-        Fixed-capacity: one RANSAC call per camera over padded (K,) tables."""
+        Fixed-capacity: ONE launch for all cameras (uniform camera model) or
+        one per camera over padded (K,) tables."""
         K = self.cfg.max_keypoints
-        for cam in range(multiframe.num_cameras):
+        C = multiframe.num_cameras
+        sel = np.zeros((C, K), bool)
+        pts = np.zeros((C, K, 3))
+        for cam in range(C):
             f = multiframe.frames[cam]
-            sel = np.zeros(K, bool)
-            pts = np.zeros((K, 3))
             for k in np.nonzero(f.landmark_ids != 0)[0]:
                 lm_id = int(f.landmark_ids[k])
                 if not estimator.is_landmark_added(lm_id):
@@ -616,23 +621,48 @@ class Frontend:
                 hp = estimator.get_landmark(lm_id)
                 if abs(hp[3]) < 1e-8:
                     continue
-                sel[k] = True
-                pts[k] = hp[:3] / hp[3]
-            if sel.sum() < 8:
-                continue
-            res = kernels.ransac_3d2d_px(
-                self._next_key(),
-                self.rig.specs[cam],
-                estimator.intrinsics[cam],
+                sel[cam, k] = True
+                pts[cam, k] = hp[:3] / hp[3]
+        enough = sel.sum(axis=1) >= 8
+        if not enough.any():
+            return
+
+        uniform = len(set(self.rig.specs[:C])) == 1
+        if uniform:
+            results = kernels.ransac_3d2d_px_multicam(
+                jnp.stack([self._next_key() for _ in range(C)]),
+                self.rig.specs[0],
+                jnp.stack(estimator.intrinsics[:C]),
                 jnp.asarray(pts),
-                f.keypoints.uv,
+                jnp.stack([multiframe.frames[c].keypoints.uv for c in range(C)]),
                 jnp.asarray(sel),
-                float(estimator.intrinsics[cam][0]),
+                jnp.asarray([float(estimator.intrinsics[c][0]) for c in range(C)]),
                 self.cfg.ransac_threshold_px2,
             )
-            if not bool(res.success):
+            success, inliers = jax.device_get((results.success, results.inliers))
+        else:
+            per_cam = [
+                kernels.ransac_3d2d_px(
+                    self._next_key(),
+                    self.rig.specs[cam],
+                    estimator.intrinsics[cam],
+                    jnp.asarray(pts[cam]),
+                    multiframe.frames[cam].keypoints.uv,
+                    jnp.asarray(sel[cam]),
+                    float(estimator.intrinsics[cam][0]),
+                    self.cfg.ransac_threshold_px2,
+                )
+                for cam in range(C)
+            ]
+            fetched = jax.device_get(per_cam)
+            success = np.asarray([f.success for f in fetched])
+            inliers = np.stack([f.inliers for f in fetched])
+
+        for cam in range(C):
+            if not enough[cam] or not bool(success[cam]):
                 continue
-            outliers = sel & ~np.asarray(res.inliers)
+            f = multiframe.frames[cam]
+            outliers = sel[cam] & ~inliers[cam]
             for k in np.nonzero(outliers)[0]:
                 lm_id = int(f.landmark_ids[k])
                 estimator.remove_observation(lm_id, multiframe.id, cam, int(k))

@@ -140,42 +140,154 @@ def gated_match_pairs(
     return jax.vmap(one)(desc_a, mask_a, hp_rows, T_CW)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold",))
-def plain_match_pairs(
-    desc_a: jnp.ndarray,  # (P, K, 16)
-    mask_a: jnp.ndarray,  # (P, K)
+def _associate_onecam(
+    spec: CameraSpec,
+    threshold: int,
+    intr: jnp.ndarray,  # (N,)
+    desc_a: jnp.ndarray,  # (P, K, 16) source descriptors
+    sel3d_a: jnp.ndarray,  # (P, K) source rows carrying a landmark
+    hp_rows: jnp.ndarray,  # (P, K, 4) landmark homogeneous points per row
+    free2d_a: jnp.ndarray,  # (P, K) source rows free for 2D-2D
+    uv_a: jnp.ndarray,  # (P, K, 2) source keypoints
+    T_CW: kin.SE3,  # current camera-from-world
+    T_WC_a: kin.SE3,  # batched (P,...) source camera poses
+    T_WC_b: kin.SE3,  # current camera pose
     desc_b: jnp.ndarray,  # (K, 16)
-    mask_b: jnp.ndarray,  # (K,) free-at-round-start mask (host resolves
-    # conflicts with 3D-2D winners afterwards)
+    free_b: jnp.ndarray,  # (K,) free at round start
+    uv_b: jnp.ndarray,  # (K, 2)
+    gate_radius: jnp.ndarray,
+):
+    """Single-camera body of the fused association round (see
+    associate_multicam)."""
+    K = free_b.shape[0]
+
+    # ---- 3D-2D gated matching, every source in one vmap ----
+    def one_src_3d(d_a, s_a, hp_p):
+        uv_pred, ok = project_hpoints(spec, intr, T_CW, hp_p)
+        gate_ok = s_a & ok
+        pred = jnp.where(gate_ok[:, None], uv_pred, 1e9)
+        return gated_match(
+            d_a, desc_b, gate_ok, free_b, pred, uv_b, gate_radius,
+            threshold=threshold,
+        )
+
+    assign3 = jax.vmap(one_src_3d)(desc_a, sel3d_a, hp_rows)  # (P, K)
+
+    # device-side post-3D-2D free mask: any source's claim removes the
+    # keypoint from the 2D-2D pool (conservative vs the host resolution,
+    # which may reject individual claims — those keypoints simply skip this
+    # round's 2D-2D, matching the drop-on-conflict policy)
+    hit3 = assign3 >= 0
+    idx = jnp.where(hit3, assign3, K).reshape(-1)
+    claimed = jnp.zeros((K,), bool).at[idx].set(True, mode="drop")
+    free_b2 = free_b & ~claimed
+
+    # ---- 2D-2D matching among the remaining free keypoints ----
+    assign2 = jax.vmap(
+        lambda d_a, m_a: plain_match(d_a, desc_b, m_a, free_b2, threshold=threshold)
+    )(desc_a, free2d_a)  # (P, K)
+
+    # ---- triangulate every 2D-2D assignment in-launch ----
+    pmask = assign2 >= 0
+    ib = jnp.where(pmask, assign2, 0)
+    uv_b_pair = uv_b[ib]  # (P, K, 2)
+
+    def tri_one(Ta, ua, ub, m):
+        return triangulate_pairs(spec, spec, intr, intr, Ta, T_WC_b, ua, ub, m)
+
+    hp, valid, par = jax.vmap(tri_one)(T_WC_a, uv_a, uv_b_pair, pmask)
+    return assign3, assign2, hp, valid, par
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "threshold"))
+def associate_onecam(
+    spec, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
+    T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, gate_radius, threshold=60,
+):
+    """Fused association round for ONE camera (mixed-spec rigs fall back to
+    one launch per camera)."""
+    return _associate_onecam(
+        spec, threshold, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
+        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, gate_radius,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "threshold"))
+def associate_multicam(
+    spec: CameraSpec,
+    intrinsics: jnp.ndarray,  # (C, N)
+    desc_a: jnp.ndarray,  # (P, C, K, 16)
+    sel3d_a: jnp.ndarray,  # (P, C, K)
+    hp_rows: jnp.ndarray,  # (P, C, K, 4)
+    free2d_a: jnp.ndarray,  # (P, C, K)
+    uv_a: jnp.ndarray,  # (P, C, K, 2)
+    T_CW: kin.SE3,  # batched (C,...) current camera-from-world
+    T_WC_a: kin.SE3,  # batched (P, C, ...) source camera poses
+    T_WC_b: kin.SE3,  # batched (C,...) current camera poses
+    desc_b: jnp.ndarray,  # (C, K, 16)
+    free_b: jnp.ndarray,  # (C, K)
+    uv_b: jnp.ndarray,  # (C, K, 2)
+    gate_radius: jnp.ndarray,
     threshold: int = 60,
 ):
-    """2D-2D matching for P source frames against the current frame in one
-    program. Returns (P, K) assignments."""
+    """ONE launch for a complete data-association round: 3D-2D gated
+    matching, 2D-2D matching of the leftovers, and triangulation of every
+    2D-2D match — over ALL source frames and ALL cameras of the rig.
+
+    This is the fused form of the reference's matchToKeyframes /
+    matchToLastFrame sequence (Frontend.cpp:153-233, one DenseMatcher::match
+    + triangulation per (source, camera, phase) on a thread pool): host
+    dispatch latency dominates per-frame cost on accelerators, so the whole
+    round is a single XLA program. Requires a uniform camera model across
+    the rig (vmapped over the camera axis).
+
+    Returns (assign3 (P,C,K), assign2 (P,C,K), hp_W (P,C,K,4),
+    tri_valid (P,C,K), tri_parallel (P,C,K)).
+    """
+
+    def per_cam(intr, d_a, s3, hp_r, f2a, ua, T_CW_c, T_WC_a_c, T_WC_b_c,
+                d_b, f_b, u_b):
+        return _associate_onecam(
+            spec, threshold, intr, d_a, s3, hp_r, f2a, ua,
+            T_CW_c, T_WC_a_c, T_WC_b_c, d_b, f_b, u_b, gate_radius,
+        )
+
     return jax.vmap(
-        lambda da, ma: plain_match(da, desc_b, ma, mask_b, threshold=threshold)
-    )(desc_a, mask_a)
+        per_cam,
+        in_axes=(0, 1, 1, 1, 1, 1, 0, 1, 0, 0, 0, 0),
+        out_axes=1,
+    )(
+        intrinsics, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
+        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("spec_a", "spec_b"))
-def triangulate_pair_batches(
+@functools.partial(jax.jit, static_argnames=("spec_a", "spec_b", "threshold"))
+def stereo_match_triangulate(
     spec_a: CameraSpec,
     spec_b: CameraSpec,
     intr_a: jnp.ndarray,
     intr_b: jnp.ndarray,
-    T_WC_a: kin.SE3,  # batched (P,...)
-    T_WC_b: kin.SE3,  # batched (P,...)
-    uv_a: jnp.ndarray,  # (P, K, 2)
-    uv_b: jnp.ndarray,  # (P, K, 2)
-    pair_mask: jnp.ndarray,  # (P, K)
+    desc_a: jnp.ndarray,  # (K, 16)
+    desc_b: jnp.ndarray,  # (K, 16)
+    free_a: jnp.ndarray,  # (K,)
+    free_b: jnp.ndarray,  # (K,)
+    uv_a: jnp.ndarray,  # (K, 2)
+    uv_b: jnp.ndarray,  # (K, 2)
+    T_WC_a: kin.SE3,
+    T_WC_b: kin.SE3,
+    threshold: int = 60,
 ):
-    """Batched triangulation for P frame pairs in one program."""
-
-    def one(Ta, Tb, ua, ub, m):
-        return triangulate_pairs(
-            spec_a, spec_b, intr_a, intr_b, Ta, Tb, ua, ub, m
-        )
-
-    return jax.vmap(one)(T_WC_a, T_WC_b, uv_a, uv_b, pair_mask)
+    """Intra-multiframe stereo matching + triangulation in ONE launch
+    (Frontend.cpp:521-572 matchStereo + setBestMatch triangulation).
+    Returns (assign (K,), hp_W (K,4), valid (K,), parallel (K,))."""
+    assign = plain_match(desc_a, desc_b, free_a, free_b, threshold=threshold)
+    pmask = assign >= 0
+    ib = jnp.where(pmask, assign, 0)
+    hp, valid, par = triangulate_pairs(
+        spec_a, spec_b, intr_a, intr_b, T_WC_a, T_WC_b, uv_a, uv_b[ib], pmask
+    )
+    return assign, hp, valid, par
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -197,6 +309,31 @@ def ransac_3d2d_px(
     return ransac_absolute_pose(
         key, points_W, bear, sel, focal=focal, threshold_px2=threshold_px2
     )
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def ransac_3d2d_px_multicam(
+    keys,  # (C, 2) PRNG keys
+    spec: CameraSpec,
+    intrinsics: jnp.ndarray,  # (C, N)
+    points_W: jnp.ndarray,  # (C, K, 3)
+    uv: jnp.ndarray,  # (C, K, 2)
+    sel: jnp.ndarray,  # (C, K)
+    focal: jnp.ndarray,  # (C,)
+    threshold_px2,
+):
+    """Absolute-pose RANSAC for every camera of the rig in ONE launch
+    (runRansac3d2d loops cameras sequentially, Frontend.cpp:575-642).
+    Uniform camera model required; per-camera intrinsics/focal are traced."""
+    from .ransac import ransac_absolute_pose
+
+    def one(key, intr, pts, uv_c, sel_c, f):
+        bear = back_project_batch(spec, intr, uv_c)
+        return ransac_absolute_pose(
+            key, pts, bear, sel_c, focal=f, threshold_px2=threshold_px2
+        )
+
+    return jax.vmap(one)(keys, intrinsics, points_W, uv, sel, focal)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))

@@ -56,12 +56,12 @@ def hamming_matrix_pallas(
         out_shape=jax.ShapeDtypeStruct((NA, NB), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ta, W), lambda i, j: (i, 0), memory_space=pltpu.ANY
+            pl.BlockSpec((ta, W), lambda i, j: (i, 0), memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
-            pl.BlockSpec((tb, W), lambda i, j: (j, 0), memory_space=pltpu.ANY
+            pl.BlockSpec((tb, W), lambda i, j: (j, 0), memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ta, tb), lambda i, j: (i, j),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(desc_a, desc_b)

@@ -1,0 +1,127 @@
+"""Full-pipeline frames/s + ATE on the current device (real vision path).
+
+Measures the complete per-frame hot path — detection, description, fused
+association launch, RANSAC, stereo, addStates, optimize, marginalization —
+through ThreadedVio in blocking mode on a rendered synthetic world
+(the BENCH_NOTES "35 frames, dot-world" study, reproducible form).
+
+Images are pre-rendered on the host CPU backend so rendering time does not
+pollute the measurement. Run with JAX_PLATFORMS left to the environment
+default (TPU when available).
+
+Usage: python scripts/bench_pipeline.py [n_frames]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_default_matmul_precision", "high")
+
+NS = 1_000_000_000
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 35
+
+    from okvis_tpu import kinematics as kin
+    from okvis_tpu.cameras import NCameraSystem
+    from okvis_tpu.config import read_config
+    from okvis_tpu.datasets.synthetic import (
+        euroc_stereo_rig,
+        make_landmarks,
+        render_world_image,
+        simulate_trajectory,
+    )
+    from okvis_tpu.eval import ate_rmse
+    from okvis_tpu.pipeline import ThreadedVio
+    from okvis_tpu.utils.timing import Timing
+
+    params = read_config("/root/reference/config/config_fpga_p2_euroc.yaml")
+    params.optimization.max_num_keypoints = 200
+    params.optimization.detection_threshold = 15.0
+
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    rig.compute_overlaps()
+
+    frame_dt = 0.1
+    duration = (n_frames + 2) * frame_dt
+    traj = simulate_trajectory(duration=duration, seed=31, motion_scale=0.25)
+    lms = make_landmarks(traj, 260, seed=32, radius=(4.0, 8.0))
+
+    # pre-render all images on the host CPU backend
+    cpu = jax.devices("cpu")[0]
+    images = []
+    with jax.default_device(cpu):
+        for fi in range(n_frames):
+            idx = int(round(fi * frame_dt * 200))
+            T_WS = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+            per_cam = []
+            for cam in range(2):
+                T_WC = kin.compose(T_WS, rig.camera_T_SC(cam))
+                img = np.asarray(
+                    render_world_image(rig.specs[cam], rig.intrinsics[cam], T_WC, lms)
+                )
+                per_cam.append(img)
+            images.append(per_cam)
+    print(f"rendered {n_frames} stereo frames", flush=True)
+
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float32)
+    t_frame_start = None
+    frame_times = []
+    imu_i = 0
+    t0_all = time.perf_counter()
+    for fi in range(n_frames):
+        t_ns = int(fi * frame_dt * NS)
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            vio.add_imu_measurement(
+                int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i]
+            )
+            imu_i += 1
+        t_frame_start = time.perf_counter()
+        for cam in range(2):
+            vio.add_image(t_ns, cam, images[fi][cam])
+        vio.wait_idle(timeout=300)
+        frame_times.append(time.perf_counter() - t_frame_start)
+    wall = time.perf_counter() - t0_all
+
+    table = vio.shutdown()
+    if table:
+        print(table)
+
+    # steady state: skip the first 10 frames (compilation)
+    steady = frame_times[10:]
+    fps = 1.0 / float(np.mean(steady)) if steady else 0.0
+    med_ms = 1e3 * float(np.median(steady)) if steady else float("nan")
+
+    est_ts = np.asarray([s.timestamp_ns for s in vio.trajectory], np.int64)
+    est_pos = np.asarray([np.asarray(s.T_WS.r) for s in vio.trajectory])
+    gt_ts = (traj.ts * NS).astype(np.int64)
+    ate = (
+        ate_rmse(est_ts, est_pos, gt_ts, traj.r)
+        if len(est_ts) >= 4
+        else None
+    )
+    ate = float("nan") if ate is None else ate
+
+    print(
+        f"pipeline: {len(vio.trajectory)}/{n_frames} frames, "
+        f"steady {fps:.2f} fps (median {med_ms:.0f} ms/frame), "
+        f"total wall {wall:.1f} s, ATE {ate:.4f} m"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -544,3 +544,190 @@ def test_batched_pyramid_multi_matches_per_camera(rng):
         assert (
             np.asarray(batched[c].descriptors)[m] == np.asarray(single.descriptors)[m]
         ).all()
+
+
+# ------------------------------------------------- fused association kernels
+def _random_assoc_inputs(rng, P=2, C=2, K=24):
+    """Random-but-consistent inputs for the fused association kernel."""
+    from okvis_tpu.cameras.pinhole import CameraSpec
+
+    spec = CameraSpec(width=640, height=480, dist_type="radtan")
+    intr = np.tile(
+        np.asarray([460.0, 455.0, 320.0, 240.0, -0.28, 0.07, 1e-4, -2e-5]),
+        (C, 1),
+    )
+    desc_a = rng.integers(0, 2**32, (P, C, K, 16), dtype=np.uint32)
+    desc_b = rng.integers(0, 2**32, (C, K, 16), dtype=np.uint32)
+    sel3d = rng.random((P, C, K)) < 0.4
+    free2 = ~sel3d & (rng.random((P, C, K)) < 0.6)
+    free_b = rng.random((C, K)) < 0.8
+    hp = np.concatenate(
+        [rng.normal(0, 2, (P, C, K, 3)) + [0, 0, 6.0], np.ones((P, C, K, 1))],
+        axis=-1,
+    )
+    uv_a = rng.uniform(100, 500, (P, C, K, 2))
+    uv_b = rng.uniform(100, 500, (C, K, 2))
+
+    def rand_pose(shape):
+        r = rng.normal(0, 0.5, shape + (3,))
+        q = rng.normal(0, 1, shape + (4,))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        return kin.SE3(r=jnp.asarray(r), q=jnp.asarray(q))
+
+    T_CW = rand_pose((C,))
+    T_WC_a = rand_pose((P, C))
+    T_WC_b = rand_pose((C,))
+    return (
+        spec, jnp.asarray(intr), jnp.asarray(desc_a), jnp.asarray(sel3d),
+        jnp.asarray(hp), jnp.asarray(free2), jnp.asarray(uv_a), T_CW,
+        T_WC_a, T_WC_b, jnp.asarray(desc_b), jnp.asarray(free_b),
+        jnp.asarray(uv_b),
+    )
+
+
+def test_associate_multicam_equals_per_camera(rng):
+    """The camera-vmapped fused kernel must agree with the single-camera
+    fused kernel (the mixed-spec fallback path) slice by slice."""
+    from okvis_tpu.frontend import kernels
+
+    args = _random_assoc_inputs(rng)
+    (spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
+     desc_b, free_b, uv_b) = args
+    gate = jnp.asarray(40.0)
+    multi = kernels.associate_multicam(
+        spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
+        desc_b, free_b, uv_b, gate, threshold=200,
+    )
+    C = 2
+    for c in range(C):
+        one = kernels.associate_onecam(
+            spec, intr[c], desc_a[:, c], sel3d[:, c], hp[:, c], free2[:, c],
+            uv_a[:, c],
+            kin.SE3(r=T_CW.r[c], q=T_CW.q[c]),
+            kin.SE3(r=T_WC_a.r[:, c], q=T_WC_a.q[:, c]),
+            kin.SE3(r=T_WC_b.r[c], q=T_WC_b.q[c]),
+            desc_b[c], free_b[c], uv_b[c], gate, threshold=200,
+        )
+        for m, o in zip(multi, one):
+            np.testing.assert_allclose(
+                np.asarray(m[:, c]), np.asarray(o), rtol=1e-6, atol=1e-8
+            )
+
+
+def test_associate_onecam_3d2d_respects_device_claims(rng):
+    """2D-2D assignments never target a keypoint already claimed by ANY
+    source's 3D-2D assignment in the same launch."""
+    from okvis_tpu.frontend import kernels
+
+    args = _random_assoc_inputs(rng, P=3, C=1, K=32)
+    (spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
+     desc_b, free_b, uv_b) = args
+    out = kernels.associate_multicam(
+        spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
+        desc_b, free_b, uv_b, jnp.asarray(1e6), threshold=512,
+    )
+    assign3, assign2 = np.asarray(out[0]), np.asarray(out[1])
+    claimed = set(assign3[assign3 >= 0].tolist())
+    hit2 = set(assign2[assign2 >= 0].tolist())
+    assert not (claimed & hit2), "2D-2D must avoid 3D-2D-claimed keypoints"
+
+
+def test_stereo_match_triangulate_matches_composition(rng):
+    """The fused stereo kernel equals plain_match + triangulate_pairs run
+    separately."""
+    from okvis_tpu.frontend import kernels
+    from okvis_tpu.cameras.pinhole import CameraSpec
+
+    spec = CameraSpec(width=640, height=480, dist_type="none")
+    K = 16
+    intr = jnp.asarray([460.0, 460.0, 320.0, 240.0])
+    desc_a = jnp.asarray(rng.integers(0, 2**32, (K, 16), dtype=np.uint32))
+    desc_b = jnp.asarray(rng.integers(0, 2**32, (K, 16), dtype=np.uint32))
+    free_a = jnp.asarray(rng.random(K) < 0.8)
+    free_b = jnp.asarray(rng.random(K) < 0.8)
+    uv_a = jnp.asarray(rng.uniform(100, 500, (K, 2)))
+    uv_b = jnp.asarray(rng.uniform(100, 500, (K, 2)))
+    T_WC_a = kin.SE3(r=jnp.zeros(3), q=jnp.asarray([0.0, 0, 0, 1]))
+    T_WC_b = kin.SE3(r=jnp.asarray([0.2, 0.0, 0.0]), q=jnp.asarray([0.0, 0, 0, 1]))
+
+    assign, hp, valid, par = kernels.stereo_match_triangulate(
+        spec, spec, intr, intr, desc_a, desc_b, free_a, free_b, uv_a, uv_b,
+        T_WC_a, T_WC_b, threshold=512,
+    )
+    assign_ref = kernels.plain_match(desc_a, desc_b, free_a, free_b, threshold=512)
+    np.testing.assert_array_equal(np.asarray(assign), np.asarray(assign_ref))
+    pmask = assign_ref >= 0
+    ib = jnp.where(pmask, assign_ref, 0)
+    hp_ref, valid_ref, par_ref = kernels.triangulate_pairs(
+        spec, spec, intr, intr, T_WC_a, T_WC_b, uv_a, uv_b[ib], pmask
+    )
+    np.testing.assert_allclose(np.asarray(hp), np.asarray(hp_ref), rtol=1e-7)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid_ref))
+    np.testing.assert_array_equal(np.asarray(par), np.asarray(par_ref))
+
+
+def test_associate_batched_single_fused_launch(rng, monkeypatch):
+    """A stereo association round issues exactly ONE fused device launch
+    (plus zero per-camera fallback calls)."""
+    from okvis_tpu.frontend import kernels as k
+
+    calls = {"multi": 0, "one": 0}
+    orig = k.associate_multicam
+
+    def counting_multi(*a, **kw):
+        calls["multi"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(k, "associate_multicam", counting_multi)
+    monkeypatch.setattr(
+        k, "associate_onecam",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("fallback used")),
+    )
+
+    from okvis_tpu.cameras import NCameraSystem
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig, simulate_trajectory
+    from okvis_tpu.estimator import Estimator
+    from okvis_tpu.frontend.detection import Keypoints
+    from okvis_tpu.frontend.frame import FrameData, MultiFrame
+    from okvis_tpu.frontend.frontend import Frontend, FrontendConfig
+    from okvis_tpu.imu import ImuParams
+    from okvis_tpu.solver import WindowConfig
+
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    cfg = WindowConfig(
+        num_states=9, num_cameras=2, max_landmarks=64, max_observations=256,
+        imu_samples=32, max_imu_links=8, camera_specs=tuple(rig.specs),
+    )
+    est = Estimator(rig, ImuParams.euroc(), cfg=cfg)
+    traj = simulate_trajectory(duration=1.0, seed=3, motion_scale=0.0)
+    sids = []
+    for fi in range(2):
+        idx = fi * 20
+        lo, hi = max(0, idx - 24), idx + 5
+        sids.append(est.add_states(
+            fi * 0.1, traj.ts[lo:hi], traj.gyro[lo:hi], traj.acc[lo:hi],
+            as_keyframe=True,
+        ))
+    K = 8
+    fe = Frontend(rig, FrontendConfig(max_keypoints=K))
+
+    def make_frame(mf_id):
+        frames = []
+        for c in range(2):
+            frames.append(FrameData(
+                keypoints=Keypoints(
+                    uv=jnp.asarray(rng.uniform(100, 500, (K, 2))),
+                    score=jnp.ones(K), mask=jnp.ones(K, bool)),
+                descriptors=jnp.asarray(
+                    rng.integers(0, 2**32, (K, 16), dtype=np.uint32)),
+                landmark_ids=np.zeros(K, np.int64),
+            ))
+        return MultiFrame(id=mf_id, timestamp=0.0, frames=frames)
+
+    src = make_frame(sids[0])
+    cur = make_frame(sids[1])
+    est.multiframes[sids[0]] = src
+    est.multiframes[sids[1]] = cur
+    fe._associate_batched(est, [src], cur, est.get_T_WS(sids[1]))
+    assert calls["multi"] == 1
