@@ -182,6 +182,8 @@ class Estimator:
         T_SC linearization points — mathematically identical to the
         reference's quadratic PoseError."""
         assert self.cfg.estimate_extrinsics, "enable estimate_extrinsics first"
+        if not isinstance(self.marg_H, np.ndarray):  # device-resident prior
+            self.marg_H = np.asarray(self.marg_H, np.float64)
         S, C = self.cfg.num_states, self.cfg.num_cameras
         info = np.concatenate(
             [np.full(3, 1.0 / sigma_translation**2), np.full(3, 1.0 / sigma_orientation**2)]
@@ -869,9 +871,12 @@ class Estimator:
                 jnp.asarray(keep_dense),
                 jnp.asarray(marg_lm_mask),
             )
-            self.marg_H = np.array(out.H)
-            self.marg_b0 = np.array(out.b0)
-            self.marg_c0 = float(out.c0)
+            # keep the prior device-resident: no download here and no
+            # re-upload in the next _build_problem — the marginalize launch
+            # becomes fully async (the host never blocks on its result)
+            self.marg_H = out.H
+            self.marg_b0 = out.b0
+            self.marg_c0 = out.c0
             self.marg_valid = True
 
         # --- now free the marginalized/deleted landmarks ---
@@ -915,9 +920,15 @@ class Estimator:
 
     def states_slot_reset(self, slot: int) -> None:
         i0 = slot * 15
-        self.marg_H[i0 : i0 + 15, :] = 0.0
-        self.marg_H[:, i0 : i0 + 15] = 0.0
-        self.marg_b0[i0 : i0 + 15] = 0.0
+        if isinstance(self.marg_H, np.ndarray):
+            self.marg_H[i0 : i0 + 15, :] = 0.0
+            self.marg_H[:, i0 : i0 + 15] = 0.0
+            self.marg_b0[i0 : i0 + 15] = 0.0
+        else:
+            # device-resident prior: masked zeroing dispatches async
+            self.marg_H = self.marg_H.at[i0 : i0 + 15, :].set(0.0)
+            self.marg_H = self.marg_H.at[:, i0 : i0 + 15].set(0.0)
+            self.marg_b0 = self.marg_b0.at[i0 : i0 + 15].set(0.0)
 
     def _remove_landmark(self, lm_id: int) -> None:
         lm = self.landmarks.pop(lm_id)
@@ -1100,6 +1111,10 @@ class Estimator:
         import pickle
 
         blob = {k: getattr(self, k) for k in self._CKPT_FIELDS}
+        # marginal prior may be device-resident — materialize for pickling
+        blob["marg_H"] = np.asarray(blob["marg_H"])
+        blob["marg_b0"] = np.asarray(blob["marg_b0"])
+        blob["marg_c0"] = float(blob["marg_c0"])
         with open(path, "wb") as f:
             pickle.dump(blob, f)
 

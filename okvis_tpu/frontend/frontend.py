@@ -303,6 +303,13 @@ class Frontend:
         free_b_np = [
             mask_b_np[c] & (frame_b.frames[c].landmark_ids == 0) for c in range(C)
         ]
+        # 3D-2D uses only INITIALIZED landmarks with ≥2 observations; carried
+        # UNinitialized landmarks go through the 2D-2D pool and are
+        # re-triangulated/upgraded on match (ref doSetup skip lists,
+        # VioKeyframeWindowMatchingAlgorithm.cpp:170-200,225-233)
+        obs_count: dict = {}
+        for o in estimator.observations:
+            obs_count[o.lm_id] = obs_count.get(o.lm_id, 0) + 1
         sel_a = np.zeros((P, C, K), bool)
         hp_rows = np.tile(np.asarray([0.0, 0, 0, 1.0]), (P, C, K, 1))
         free2_a = np.zeros((P, C, K), bool)
@@ -315,12 +322,19 @@ class Frontend:
                     if not estimator.is_landmark_added(lm_id):
                         fa.landmark_ids[i] = 0
                         continue
-                    if m_a[i]:
+                    if not m_a[i]:
+                        continue
+                    lm = estimator.landmarks[lm_id]
+                    if lm.initialized and obs_count.get(lm_id, 0) < 2:
+                        # single-observation landmark: depth not observable
+                        # (ref doSetup :195-199)
+                        lm.initialized = False
+                    if lm.initialized:
                         sel_a[p, c, i] = True
-                        hp_rows[p, c, i] = estimator.hp_W[
-                            estimator.landmarks[lm_id].slot
-                        ]
-                free2_a[p, c] = m_a & (fa.landmark_ids == 0)
+                        hp_rows[p, c, i] = estimator.hp_W[lm.slot]
+                    else:
+                        free2_a[p, c, i] = True
+                free2_a[p, c] |= m_a & (fa.landmark_ids == 0)
 
         desc_a_j = jnp.stack(
             [jnp.stack([src.frames[c].descriptors for c in range(C)]) for src in sources]
@@ -330,6 +344,21 @@ class Frontend:
         )  # (P, C, K, 2)
         desc_b_j = jnp.stack([frame_b.frames[c].descriptors for c in range(C)])
         uv_b_j = jnp.stack([frame_b.frames[c].keypoints.uv for c in range(C)])
+        # current-frame keypoint stddevs (0.8·size/12, ref doSetup :211-214)
+        std_b = np.empty((C, K))
+        for c in range(C):
+            sizes = frame_b.frames[c].sizes
+            std_b[c] = 0.8 / 12.0 * (
+                np.asarray(sizes)[:K] if sizes is not None else 8.0
+            )
+        # velocity-scaled position uncertainty for the chi² gate
+        # (ref doSetup :131-141: σ² = max(1,|v|)²·1e-2 in the IMU window)
+        try:
+            v = estimator.get_speed_and_bias(frame_b.id)[:3]
+            scale = max(1.0, float(np.linalg.norm(v)))
+        except KeyError:
+            scale = 1.0
+        sigma_pos2 = jnp.asarray(scale * scale * 1e-2)
 
         # transforms built on host (pose state lives in numpy — no device chatter)
         from ..kinematics import np_se3
@@ -381,6 +410,8 @@ class Frontend:
                 desc_b_j,
                 jnp.asarray(np.stack(free_b_np)),
                 uv_b_j,
+                jnp.asarray(std_b),
+                sigma_pos2,
                 jnp.asarray(cfg.gate_radius_px),
                 threshold=cfg.matching_threshold,
             )
@@ -404,6 +435,8 @@ class Frontend:
                         desc_b_j[c],
                         jnp.asarray(free_b_np[c]),
                         uv_b_j[c],
+                        jnp.asarray(std_b[c]),
+                        sigma_pos2,
                         jnp.asarray(cfg.gate_radius_px),
                         threshold=cfg.matching_threshold,
                     )
@@ -477,13 +510,17 @@ class Frontend:
                     fb.descriptors,
                     jnp.asarray(free_b),
                     fb.keypoints.uv,
+                    jnp.asarray(std_b[cam]),
+                    sigma_pos2,
                     jnp.asarray(cfg.gate_radius_px),
                     threshold=cfg.matching_threshold,
                 )
                 resolve_3d2d(np.asarray(assign_r), collect_losers=False)
 
             # ---- 2D-2D: assignments + triangulations precomputed in the
-            # fused launch; resolve conflicts and create landmarks ----
+            # fused launch; resolve conflicts, create landmarks, and upgrade
+            # carried uninitialized landmarks (ref setBestMatch 2D-2D path,
+            # VioKeyframeWindowMatchingAlgorithm.cpp:398-441) ----
             assign2 = assign2_all[:, cam]
             taken_b = ~free_b
             for p, src in enumerate(sources):
@@ -498,10 +535,28 @@ class Frontend:
                         continue
                     if fb.landmark_ids[ib] != 0:
                         continue
-                    if fa.landmark_ids[ia] != 0:
-                        continue
                     hp = hp_all[p, cam, ia]
                     w = hp[3]
+                    lm_a = int(fa.landmark_ids[ia])
+                    if lm_a != 0:
+                        # source row carries an UNinitialized landmark:
+                        # reuse it — update the estimate if this match
+                        # triangulates with parallax, add the current-frame
+                        # observation (ref :436-441)
+                        if not estimator.is_landmark_added(lm_a):
+                            fa.landmark_ids[ia] = 0
+                        elif lm_a not in claimed:
+                            can_init = (not par_all[p, cam, ia]) and abs(w) >= 1e-6
+                            if can_init:
+                                estimator.set_landmark(lm_a, hp[:3] / w)
+                                estimator.landmarks[lm_a].initialized = True
+                            if estimator.add_observation(
+                                lm_a, frame_b.id, cam, uv_b_np[ib],
+                                keypoint_idx=ib, size=fb.keypoint_size(ib),
+                            ):
+                                frame_b.set_landmark_id(cam, ib, lm_a)
+                                claimed.add(lm_a)
+                        continue
                     lm_id = IdProvider.new_id()
                     try:
                         if par_all[p, cam, ia] or abs(w) < 1e-6:

@@ -22,25 +22,6 @@ from .triangulation import triangulate_fast
 
 
 @functools.partial(jax.jit, static_argnames=("threshold",))
-def gated_match(
-    desc_a: jnp.ndarray,  # (K, 16) uint32
-    desc_b: jnp.ndarray,
-    mask_a: jnp.ndarray,  # (K,)
-    mask_b: jnp.ndarray,
-    pred_uv: jnp.ndarray,  # (K, 2) predicted projection per A row (1e9 = no gate hit)
-    uv_b: jnp.ndarray,  # (K, 2)
-    gate_radius: jnp.ndarray,  # scalar px
-    threshold: int = 60,
-) -> jnp.ndarray:
-    """3D-2D matching: Hamming distances + image-space gate + 1:1 assignment.
-    Returns (K,) matched B index per A or -1."""
-    dist = masked_distance_matrix(desc_a, desc_b, mask_a, mask_b)
-    d2 = jnp.sum((pred_uv[:, None, :] - uv_b[None, :, :]) ** 2, axis=-1)
-    dist = jnp.where(d2 > gate_radius * gate_radius, MAX_DIST, dist)
-    return mutual_best_assignment(dist, threshold)
-
-
-@functools.partial(jax.jit, static_argnames=("threshold",))
 def plain_match(desc_a, desc_b, mask_a, mask_b, threshold: int = 60) -> jnp.ndarray:
     dist = masked_distance_matrix(desc_a, desc_b, mask_a, mask_b)
     return mutual_best_assignment(dist, threshold)
@@ -56,6 +37,50 @@ def project_hpoints(
         lambda p: pinhole.project_homogeneous(spec, intrinsics, p)
     )(hp_C)
     return uv, flags == pinhole.STATUS_OK
+
+
+def _project_hpoints_with_cov(
+    spec: CameraSpec,
+    intrinsics: jnp.ndarray,
+    T_CW: kin.SE3,
+    hp_W: jnp.ndarray,  # (K, 4)
+    sigma_pos2: jnp.ndarray,  # scalar: isotropic position variance [m²]
+):
+    """Project landmarks and propagate an isotropic position uncertainty to a
+    2×2 image covariance (ref VioKeyframeWindowMatchingAlgorithm::doSetup,
+    VioKeyframeWindowMatchingAlgorithm.cpp:199-209: U = J·P_C·Jᵀ with
+    P_C = σ²·I on the position block). Returns (uv (K,2), cov (K,2,2), ok)."""
+    hp_C = jax.vmap(lambda p: kin.transform_hpoint(T_CW, p))(hp_W)
+    uv, flags = jax.vmap(
+        lambda p: pinhole.project_homogeneous(spec, intrinsics, p)
+    )(hp_C)
+    J = jax.vmap(
+        lambda p: pinhole.project_homogeneous_jacobian(spec, intrinsics, p)
+    )(hp_C)  # (K, 2, 4)
+    Jp = J[:, :, :3]
+    cov = sigma_pos2 * jnp.einsum("kia,kja->kij", Jp, Jp)  # (K, 2, 2)
+    return uv, cov, flags == pinhole.STATUS_OK
+
+
+def _chi2_gate(
+    pred_uv: jnp.ndarray,  # (K, 2) predicted projections (A rows)
+    pred_cov: jnp.ndarray,  # (K, 2, 2) projection covariance (A rows)
+    uv_b: jnp.ndarray,  # (K, 2) current-frame keypoints
+    std_b: jnp.ndarray,  # (K,) current-frame keypoint stddev [px]
+    gate_ok: jnp.ndarray,  # (K,) valid A rows
+) -> jnp.ndarray:
+    """(K_A, K_B) chi² of the 3D-2D association test
+    err·U⁻¹·err with U = std_b²·I + pred_cov (ref verifyMatch chi²<4 gate,
+    VioKeyframeWindowMatchingAlgorithm.cpp:318-336)."""
+    err = pred_uv[:, None, :] - uv_b[None, :, :]  # (A, B, 2)
+    s2 = std_b * std_b  # (B,)
+    u11 = pred_cov[:, None, 0, 0] + s2[None, :]
+    u22 = pred_cov[:, None, 1, 1] + s2[None, :]
+    u12 = jnp.broadcast_to(pred_cov[:, None, 0, 1], u11.shape)
+    det = jnp.maximum(u11 * u22 - u12 * u12, 1e-12)
+    e0, e1 = err[..., 0], err[..., 1]
+    chi2 = (u22 * e0 * e0 - 2.0 * u12 * e0 * e1 + u11 * e1 * e1) / det
+    return jnp.where(gate_ok[:, None], chi2, jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -121,21 +146,29 @@ def gated_match_pairs(
     desc_b: jnp.ndarray,  # (K, 16) current-frame descriptors (shared)
     mask_b: jnp.ndarray,  # (K,)
     uv_b: jnp.ndarray,  # (K, 2)
-    gate_radius: jnp.ndarray,
+    std_b: jnp.ndarray,  # (K,) current keypoint stddev [px]
+    sigma_pos2: jnp.ndarray,  # scalar position variance for the chi² gate
+    gate_radius: jnp.ndarray,  # coarse pixel cap on top of chi² (<=0: off)
     threshold: int = 60,
 ):
-    """3D-2D gated matching for P source frames against the current frame in
-    ONE program. Returns (assign (P, K), pred_ok (P, K))."""
+    """3D-2D chi²-gated matching for P source frames against the current
+    frame in ONE program (the conflict-loser recovery round).
+    Returns (assign (P, K), pred_ok (P, K))."""
 
     def one(desc_a_p, mask_a_p, hp_p, T_CW_p):
-        uv_pred, ok = project_hpoints(spec, intrinsics, T_CW_p, hp_p)
-        gate_ok = mask_a_p & ok
-        pred = jnp.where(gate_ok[:, None], uv_pred, 1e9)
-        assign = gated_match(
-            desc_a_p, desc_b, gate_ok, mask_b, pred, uv_b, gate_radius,
-            threshold=threshold,
+        uv_pred, cov, ok = _project_hpoints_with_cov(
+            spec, intrinsics, T_CW_p, hp_p, sigma_pos2
         )
-        return assign, gate_ok
+        gate_ok = mask_a_p & ok
+        chi2 = _chi2_gate(uv_pred, cov, uv_b, std_b, gate_ok)
+        dist = masked_distance_matrix(desc_a_p, desc_b, gate_ok, mask_b)
+        dist = jnp.where(chi2 >= 4.0, MAX_DIST, dist)
+        pred = jnp.where(gate_ok[:, None], uv_pred, 1e9)
+        d2 = jnp.sum((pred[:, None, :] - uv_b[None, :, :]) ** 2, axis=-1)
+        dist = jnp.where(
+            (gate_radius > 0) & (d2 > gate_radius * gate_radius), MAX_DIST, dist
+        )
+        return mutual_best_assignment(dist, threshold), gate_ok
 
     return jax.vmap(one)(desc_a, mask_a, hp_rows, T_CW)
 
@@ -145,7 +178,7 @@ def _associate_onecam(
     threshold: int,
     intr: jnp.ndarray,  # (N,)
     desc_a: jnp.ndarray,  # (P, K, 16) source descriptors
-    sel3d_a: jnp.ndarray,  # (P, K) source rows carrying a landmark
+    sel3d_a: jnp.ndarray,  # (P, K) source rows carrying an INITIALIZED landmark
     hp_rows: jnp.ndarray,  # (P, K, 4) landmark homogeneous points per row
     free2d_a: jnp.ndarray,  # (P, K) source rows free for 2D-2D
     uv_a: jnp.ndarray,  # (P, K, 2) source keypoints
@@ -155,7 +188,9 @@ def _associate_onecam(
     desc_b: jnp.ndarray,  # (K, 16)
     free_b: jnp.ndarray,  # (K,) free at round start
     uv_b: jnp.ndarray,  # (K, 2)
-    gate_radius: jnp.ndarray,
+    std_b: jnp.ndarray,  # (K,) current keypoint stddev [px] (0.8·size/12)
+    sigma_pos2: jnp.ndarray,  # scalar position variance for the chi² gate
+    gate_radius: jnp.ndarray,  # coarse pixel cap on top of chi² (<=0: off)
 ):
     """Single-camera body of the fused association round (see
     associate_multicam)."""
@@ -163,13 +198,21 @@ def _associate_onecam(
 
     # ---- 3D-2D gated matching, every source in one vmap ----
     def one_src_3d(d_a, s_a, hp_p):
-        uv_pred, ok = project_hpoints(spec, intr, T_CW, hp_p)
-        gate_ok = s_a & ok
-        pred = jnp.where(gate_ok[:, None], uv_pred, 1e9)
-        return gated_match(
-            d_a, desc_b, gate_ok, free_b, pred, uv_b, gate_radius,
-            threshold=threshold,
+        uv_pred, cov, ok = _project_hpoints_with_cov(
+            spec, intr, T_CW, hp_p, sigma_pos2
         )
+        gate_ok = s_a & ok
+        chi2 = _chi2_gate(uv_pred, cov, uv_b, std_b, gate_ok)
+        dist = masked_distance_matrix(d_a, desc_b, gate_ok, free_b)
+        dist = jnp.where(chi2 >= 4.0, MAX_DIST, dist)
+        # optional coarse disc cap (reference has none; kept for configs
+        # that want a hard pixel bound)
+        pred = jnp.where(gate_ok[:, None], uv_pred, 1e9)
+        d2 = jnp.sum((pred[:, None, :] - uv_b[None, :, :]) ** 2, axis=-1)
+        dist = jnp.where(
+            (gate_radius > 0) & (d2 > gate_radius * gate_radius), MAX_DIST, dist
+        )
+        return mutual_best_assignment(dist, threshold)
 
     assign3 = jax.vmap(one_src_3d)(desc_a, sel3d_a, hp_rows)  # (P, K)
 
@@ -202,13 +245,15 @@ def _associate_onecam(
 @functools.partial(jax.jit, static_argnames=("spec", "threshold"))
 def associate_onecam(
     spec, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
-    T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, gate_radius, threshold=60,
+    T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sigma_pos2,
+    gate_radius, threshold=60,
 ):
     """Fused association round for ONE camera (mixed-spec rigs fall back to
     one launch per camera)."""
     return _associate_onecam(
         spec, threshold, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
-        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, gate_radius,
+        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sigma_pos2,
+        gate_radius,
     )
 
 
@@ -227,10 +272,12 @@ def associate_multicam(
     desc_b: jnp.ndarray,  # (C, K, 16)
     free_b: jnp.ndarray,  # (C, K)
     uv_b: jnp.ndarray,  # (C, K, 2)
+    std_b: jnp.ndarray,  # (C, K) current keypoint stddev [px]
+    sigma_pos2: jnp.ndarray,  # scalar position variance for the chi² gate
     gate_radius: jnp.ndarray,
     threshold: int = 60,
 ):
-    """ONE launch for a complete data-association round: 3D-2D gated
+    """ONE launch for a complete data-association round: 3D-2D chi²-gated
     matching, 2D-2D matching of the leftovers, and triangulation of every
     2D-2D match — over ALL source frames and ALL cameras of the rig.
 
@@ -246,19 +293,20 @@ def associate_multicam(
     """
 
     def per_cam(intr, d_a, s3, hp_r, f2a, ua, T_CW_c, T_WC_a_c, T_WC_b_c,
-                d_b, f_b, u_b):
+                d_b, f_b, u_b, s_b):
         return _associate_onecam(
             spec, threshold, intr, d_a, s3, hp_r, f2a, ua,
-            T_CW_c, T_WC_a_c, T_WC_b_c, d_b, f_b, u_b, gate_radius,
+            T_CW_c, T_WC_a_c, T_WC_b_c, d_b, f_b, u_b, s_b, sigma_pos2,
+            gate_radius,
         )
 
     return jax.vmap(
         per_cam,
-        in_axes=(0, 1, 1, 1, 1, 1, 0, 1, 0, 0, 0, 0),
+        in_axes=(0, 1, 1, 1, 1, 1, 0, 1, 0, 0, 0, 0, 0),
         out_axes=1,
     )(
         intrinsics, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
-        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b,
+        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b,
     )
 
 

@@ -473,6 +473,11 @@ def test_conflict_loser_rematches_in_second_round(rng):
     L1, L2 = 501, 502
     est.add_landmark(L1, p1)
     est.add_landmark(L2, p2)
+    # 3D-2D matching requires initialized landmarks with >=2 observations
+    # (ref doSetup, VioKeyframeWindowMatchingAlgorithm.cpp:195-199)
+    for lm, kp in ((L1, 0), (L2, 0)):
+        est.add_observation(lm, sids[0], 0, np.asarray(uv1), keypoint_idx=kp)
+        est.add_observation(lm, sids[1], 0, np.asarray(uv1), keypoint_idx=kp)
 
     K = 16
     fe = Frontend(rig, FrontendConfig(max_keypoints=K, gate_radius_px=40.0))
@@ -577,11 +582,12 @@ def _random_assoc_inputs(rng, P=2, C=2, K=24):
     T_CW = rand_pose((C,))
     T_WC_a = rand_pose((P, C))
     T_WC_b = rand_pose((C,))
+    std_b = np.full((C, K), 0.8 * 8.0 / 12.0)
     return (
         spec, jnp.asarray(intr), jnp.asarray(desc_a), jnp.asarray(sel3d),
         jnp.asarray(hp), jnp.asarray(free2), jnp.asarray(uv_a), T_CW,
         T_WC_a, T_WC_b, jnp.asarray(desc_b), jnp.asarray(free_b),
-        jnp.asarray(uv_b),
+        jnp.asarray(uv_b), jnp.asarray(std_b), jnp.asarray(1e-2),
     )
 
 
@@ -592,11 +598,11 @@ def test_associate_multicam_equals_per_camera(rng):
 
     args = _random_assoc_inputs(rng)
     (spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
-     desc_b, free_b, uv_b) = args
+     desc_b, free_b, uv_b, std_b, sp2) = args
     gate = jnp.asarray(40.0)
     multi = kernels.associate_multicam(
         spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
-        desc_b, free_b, uv_b, gate, threshold=200,
+        desc_b, free_b, uv_b, std_b, sp2, gate, threshold=200,
     )
     C = 2
     for c in range(C):
@@ -606,7 +612,7 @@ def test_associate_multicam_equals_per_camera(rng):
             kin.SE3(r=T_CW.r[c], q=T_CW.q[c]),
             kin.SE3(r=T_WC_a.r[:, c], q=T_WC_a.q[:, c]),
             kin.SE3(r=T_WC_b.r[c], q=T_WC_b.q[c]),
-            desc_b[c], free_b[c], uv_b[c], gate, threshold=200,
+            desc_b[c], free_b[c], uv_b[c], std_b[c], sp2, gate, threshold=200,
         )
         for m, o in zip(multi, one):
             np.testing.assert_allclose(
@@ -621,10 +627,11 @@ def test_associate_onecam_3d2d_respects_device_claims(rng):
 
     args = _random_assoc_inputs(rng, P=3, C=1, K=32)
     (spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
-     desc_b, free_b, uv_b) = args
+     desc_b, free_b, uv_b, std_b, _sp2) = args
     out = kernels.associate_multicam(
         spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
-        desc_b, free_b, uv_b, jnp.asarray(1e6), threshold=512,
+        desc_b, free_b, uv_b, std_b, jnp.asarray(1e6), jnp.asarray(1e6),
+        threshold=512,
     )
     assign3, assign2 = np.asarray(out[0]), np.asarray(out[1])
     claimed = set(assign3[assign3 >= 0].tolist())
