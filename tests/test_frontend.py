@@ -738,3 +738,94 @@ def test_associate_batched_single_fused_launch(rng, monkeypatch):
     est.multiframes[sids[1]] = cur
     fe._associate_batched(est, [src], cur, est.get_T_WS(sids[1]))
     assert calls["multi"] == 1
+
+
+def test_uninitialized_landmark_upgraded_via_2d2d(rng):
+    """A source keyframe carrying an UNinitialized landmark must route that
+    keypoint through the 2D-2D pool; on a parallax match the landmark is
+    re-triangulated, upgraded to initialized, and gains the current-frame
+    observation (ref setBestMatch 2D-2D reuse path,
+    VioKeyframeWindowMatchingAlgorithm.cpp:398-441)."""
+    import jax.numpy as jnp
+
+    from okvis_tpu.cameras import NCameraSystem, pinhole as ph
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig, simulate_trajectory
+    from okvis_tpu.estimator import Estimator
+    from okvis_tpu.frontend.detection import Keypoints
+    from okvis_tpu.frontend.frame import FrameData, MultiFrame
+    from okvis_tpu.frontend.frontend import Frontend, FrontendConfig
+    from okvis_tpu.imu import ImuParams
+    from okvis_tpu.solver import WindowConfig
+
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    cfg = WindowConfig(
+        num_states=9, num_cameras=2, max_landmarks=64, max_observations=256,
+        imu_samples=32, max_imu_links=8, camera_specs=tuple(rig.specs),
+    )
+    est = Estimator(rig, ImuParams.euroc(), cfg=cfg)
+    traj = simulate_trajectory(duration=1.0, seed=5, motion_scale=0.0)
+    sids = []
+    for fi in range(2):
+        idx = fi * 20
+        lo, hi = max(0, idx - 24), idx + 5
+        sids.append(est.add_states(
+            fi * 0.1, traj.ts[lo:hi], traj.gyro[lo:hi], traj.acc[lo:hi],
+            as_keyframe=True,
+        ))
+    # give the frames a 20 cm baseline so the pair triangulates with parallax
+    T0 = est.get_T_WS(sids[0])
+    est.set_T_WS(sids[1], kin.SE3(r=T0.r + jnp.asarray([0.2, 0.0, 0.0]), q=T0.q))
+
+    # a true world point, projected into camera 0 of both frames
+    T_WC0 = kin.compose(est.get_T_WS(sids[0]), rig.camera_T_SC(0))
+    p_W = np.asarray(kin.transform_point(T_WC0, jnp.asarray([0.0, 0.0, 4.0])))
+    uvs = []
+    for sid in sids:
+        T_WC = kin.compose(est.get_T_WS(sid), rig.camera_T_SC(0))
+        p_C = np.asarray(kin.transform_point(kin.inverse(T_WC), jnp.asarray(p_W)))
+        uv, flag = ph.project(rig.specs[0], est.intrinsics[0], jnp.asarray(p_C))
+        assert int(flag) == 0
+        uvs.append(np.asarray(uv))
+
+    # landmark exists but UNinitialized (e.g. created from parallel rays),
+    # carried by the source keyframe's keypoint
+    L = 901
+    ray_W = p_W / np.linalg.norm(p_W)
+    est.add_landmark(L, np.concatenate([ray_W, [1e-3]]), initialized=False)
+    est.add_observation(L, sids[0], 0, uvs[0], keypoint_idx=0)
+
+    K = 16
+    fe = Frontend(rig, FrontendConfig(max_keypoints=K))
+    d0 = rng.integers(0, 2**32, (16,), dtype=np.uint32)
+
+    def make_frame(mf_id, uv, lm):
+        frames = []
+        for c in range(2):
+            kuv = np.zeros((K, 2))
+            mask = np.zeros(K, bool)
+            dsc = np.zeros((K, 16), np.uint32)
+            lids = np.zeros(K, np.int64)
+            if c == 0:
+                kuv[0], dsc[0], lids[0], mask[0] = uv, d0, lm, True
+            frames.append(FrameData(
+                keypoints=Keypoints(uv=jnp.asarray(kuv), score=jnp.ones(K),
+                                    mask=jnp.asarray(mask)),
+                descriptors=jnp.asarray(dsc),
+                landmark_ids=lids,
+            ))
+        return MultiFrame(id=mf_id, timestamp=0.0, frames=frames)
+
+    src = make_frame(sids[0], uvs[0], L)
+    cur = make_frame(sids[1], uvs[1], 0)
+    est.multiframes[sids[0]] = src
+    est.multiframes[sids[1]] = cur
+
+    n3d = fe._associate_batched(est, [src], cur, est.get_T_WS(sids[1]))
+    assert n3d == 0, "uninitialized landmark must not 3D-2D match"
+    assert int(cur.frames[0].landmark_ids[0]) == L, "2D-2D reuse failed"
+    assert est.landmarks[L].initialized, "landmark not upgraded"
+    hp = est.get_landmark(L)
+    p_est = hp[:3] / hp[3]
+    assert np.linalg.norm(p_est - p_W) < 0.2, f"bad re-triangulation {p_est} vs {p_W}"
+    assert sum(1 for o in est.observations if o.lm_id == L) == 2
