@@ -431,7 +431,9 @@ class ThreadedVio:
                 mf: MultiFrame = self.keypoint_queue.pop_blocking()
             except ShutdownError:
                 return
-            self._frames_processed += 1
+            # NOTE: _frames_processed is incremented at every exit of this
+            # iteration (drop paths and completion), NOT here — wait_idle
+            # must not report quiescence while a frame is mid-optimization
             ts_ns = mf.timestamp_ns
             epoch0 = self._epoch_ns or 0
             last_ns = (
@@ -441,6 +443,7 @@ class ThreadedVio:
             )
             imu_ts, gyro, acc = self._get_imu_slice(min(last_ns, ts_ns), ts_ns)
             if len(imu_ts) < 2:
+                self._frames_processed += 1
                 continue
             with Timer("2.1 addStates"):
                 try:
@@ -454,7 +457,9 @@ class ThreadedVio:
                         frame_id=mf.id,
                     )
                 except RuntimeError:
-                    continue  # "Failed to add state! will drop multiframe."
+                    # "Failed to add state! will drop multiframe."
+                    self._frames_processed += 1
+                    continue
             est.multiframes[mf.id] = mf
             T_WS_prop = est.get_T_WS(sid)
             with Timer("2.4 matching"):
@@ -518,6 +523,7 @@ class ThreadedVio:
                 self._reprop_needed = True  # repropagationNeeded_ (ref :774-794)
                 self.trajectory.append(result)
             self.result_queue.push_nonblocking_dropping_if_full(result, 10)
+            self._frames_processed += 1
 
     def _feed_posegraph(self, est: Estimator, sid: int, mf: MultiFrame,
                         ts_ns: int) -> None:
