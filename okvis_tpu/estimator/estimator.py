@@ -183,7 +183,10 @@ class Estimator:
         reference's quadratic PoseError."""
         assert self.cfg.estimate_extrinsics, "enable estimate_extrinsics first"
         if not isinstance(self.marg_H, np.ndarray):  # device-resident prior
-            self.marg_H = np.asarray(self.marg_H, np.float64)
+            # np.array (copy): asarray of a device array is a READ-ONLY view
+            self.marg_H = np.array(self.marg_H, np.float64)
+            self.marg_b0 = np.array(self.marg_b0, np.float64)
+            self.marg_c0 = float(self.marg_c0)
         S, C = self.cfg.num_states, self.cfg.num_cameras
         info = np.concatenate(
             [np.full(3, 1.0 / sigma_translation**2), np.full(3, 1.0 / sigma_orientation**2)]

@@ -9,7 +9,7 @@ Images are pre-rendered on the host CPU backend so rendering time does not
 pollute the measurement. Run with JAX_PLATFORMS left to the environment
 default (TPU when available).
 
-Usage: python scripts/bench_pipeline.py [n_frames]
+Usage: python scripts/bench_pipeline.py [n_frames] [--config PATH]
 """
 
 import os
@@ -32,8 +32,25 @@ jax.config.update("jax_default_matmul_precision", "high")
 NS = 1_000_000_000
 
 
+DEFAULT_CONFIG = "/root/reference/config/config_fpga_p2_euroc.yaml"
+
+
 def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 35
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("n_frames", nargs="?", type=int, default=35)
+    ap.add_argument(
+        "--config", default=DEFAULT_CONFIG,
+        help="OKVIS-format YAML config (default: the reference EuRoC config)",
+    )
+    args = ap.parse_args()
+    n_frames = args.n_frames
+    if not os.path.exists(args.config):
+        sys.exit(
+            f"config not found: {args.config} — pass --config pointing at an "
+            "OKVIS EuRoC-style YAML"
+        )
 
     from okvis_tpu import kinematics as kin
     from okvis_tpu.cameras import NCameraSystem
@@ -48,7 +65,7 @@ def main():
     from okvis_tpu.pipeline import ThreadedVio
     from okvis_tpu.utils.timing import Timing
 
-    params = read_config("/root/reference/config/config_fpga_p2_euroc.yaml")
+    params = read_config(args.config)
     params.optimization.max_num_keypoints = 200
     params.optimization.detection_threshold = 15.0
 

@@ -286,3 +286,37 @@ def test_estimator_three_camera_rig():
         assert err < 0.1, f"frame {fi}: position error {err:.3f} m"
     # the third camera must actually contribute (3-view landmarks exist)
     assert n_three > 5
+
+
+def test_extrinsics_prior_after_device_resident_marginal():
+    """add_extrinsics_prior must materialize the WHOLE device-resident
+    marginal prior (H, b0, c0), so states_slot_reset's numpy branch never
+    mutates an immutable JAX array (code-review regression)."""
+    import jax.numpy as jnp
+
+    from okvis_tpu.cameras import NCameraSystem
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig
+    from okvis_tpu.estimator import Estimator
+    from okvis_tpu.imu import ImuParams
+    from okvis_tpu.solver import WindowConfig
+
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    cfg = WindowConfig(
+        num_states=4, num_cameras=2, max_landmarks=16, max_observations=32,
+        imu_samples=16, max_imu_links=3, camera_specs=tuple(rig.specs),
+        estimate_extrinsics=True,
+    )
+    est = Estimator(rig, ImuParams.euroc(), cfg=cfg)
+    # simulate a marginalization having left the prior device-resident
+    D = cfg.dense_dim
+    est.marg_H = jnp.zeros((D, D))
+    est.marg_b0 = jnp.zeros((D,))
+    est.marg_c0 = jnp.zeros(())
+    est.marg_valid = True
+    est.add_extrinsics_prior(0.1, 0.05)
+    assert isinstance(est.marg_H, np.ndarray)
+    assert isinstance(est.marg_b0, np.ndarray)
+    assert isinstance(est.marg_c0, float)
+    est.states_slot_reset(0)  # numpy branch; must not raise
+    assert est.marg_H[0, 0] == 0.0
