@@ -210,7 +210,9 @@ class Frontend:
                 sources.append(kf_mf)
 
         num_3d2d = (
-            self._associate_batched(estimator, sources, multiframe, T_WS_prop)
+            self._associate_batched(
+                estimator, sources, multiframe, T_WS_prop, apply_ransac=True
+            )
             if sources
             else 0
         )
@@ -222,8 +224,8 @@ class Frontend:
                 "Tracking failure. Number of 3d2d-matches: %d", num_3d2d
             )
 
-        # RANSAC 3D-2D outlier rejection (Frontend.cpp:575-642)
-        self._ransac_3d2d(estimator, multiframe, T_WS_prop)
+        # 3D-2D RANSAC outlier rejection (Frontend.cpp:575-642) is folded
+        # into the association launch above (apply_ransac=True)
 
         # initialization: 2D-2D RANSAC decides rotation-only vs translation
         # (ref runRansac2d2d, Frontend.cpp:645-810; init flips at :184-189)
@@ -277,6 +279,7 @@ class Frontend:
         sources: List[MultiFrame],
         frame_b: MultiFrame,
         T_WS_b: kin.SE3,
+        apply_ransac: bool = False,
     ) -> int:
         """3D-2D + 2D-2D association of all source frames against the current
         frame in ONE fused kernel launch for the whole rig (the batched form
@@ -398,6 +401,7 @@ class Frontend:
         if uniform:
             out = kernels.associate_multicam(
                 self.rig.specs[0],
+                jnp.stack([self._next_key() for _ in range(C)]),
                 jnp.stack(estimator.intrinsics[:C]),
                 desc_a_j,
                 jnp.asarray(sel_a),
@@ -413,9 +417,11 @@ class Frontend:
                 jnp.asarray(std_b),
                 sigma_pos2,
                 jnp.asarray(cfg.gate_radius_px),
+                jnp.asarray(cfg.ransac_threshold_px2),
                 threshold=cfg.matching_threshold,
             )
-            assign3_all, assign2_all, hp_all, val_all, par_all = jax.device_get(out)
+            (assign3_all, assign2_all, hp_all, val_all, par_all,
+             rs_inliers, _rs_num, rs_success) = jax.device_get(out)
         else:
             # mixed camera models: one fused launch per camera
             parts = []
@@ -423,6 +429,7 @@ class Frontend:
                 parts.append(
                     kernels.associate_onecam(
                         self.rig.specs[c],
+                        self._next_key(),
                         estimator.intrinsics[c],
                         desc_a_j[:, c],
                         jnp.asarray(sel_a[:, c]),
@@ -438,6 +445,7 @@ class Frontend:
                         jnp.asarray(std_b[c]),
                         sigma_pos2,
                         jnp.asarray(cfg.gate_radius_px),
+                        jnp.asarray(cfg.ransac_threshold_px2),
                         threshold=cfg.matching_threshold,
                     )
                 )
@@ -447,6 +455,8 @@ class Frontend:
             hp_all = np.stack([f[2] for f in fetched], axis=1)
             val_all = np.stack([f[3] for f in fetched], axis=1)
             par_all = np.stack([f[4] for f in fetched], axis=1)
+            rs_inliers = np.stack([f[5] for f in fetched])
+            rs_success = np.asarray([f[7] for f in fetched])
 
         # ---------- host resolution, camera by camera ----------
         for cam in range(C):
@@ -580,6 +590,28 @@ class Frontend:
                         break
                     fa.landmark_ids[ia] = lm_id
                     frame_b.set_landmark_id(cam, ib, lm_id)
+
+            # ---- apply the folded 3D-2D RANSAC's outlier removals
+            # (runRansac3d2d with removeOutliers, Frontend.cpp:615-640) —
+            # only on the keyframe round; the reference's last-frame round
+            # runs it with removeOutliers=false, i.e. a no-op ----
+            if apply_ransac:
+                cand = assign3_all[:, cam]
+                uniq = np.unique(cand[cand >= 0])
+                if uniq.size >= 8 and bool(rs_success[cam]):
+                    outl = ~rs_inliers[cam]
+                    for ib in uniq:
+                        ib = int(ib)
+                        if not outl[ib]:
+                            continue
+                        lm_id = int(fb.landmark_ids[ib])
+                        if lm_id == 0:
+                            continue  # host never resolved this candidate
+                        if estimator.is_landmark_added(lm_id):
+                            estimator.remove_observation(
+                                lm_id, frame_b.id, cam, ib
+                            )
+                        frame_b.set_landmark_id(cam, ib, 0)
         return n3d
 
     # ------------------------------------------------------------------
@@ -657,72 +689,6 @@ class Frontend:
                     multiframe.set_landmark_id(cb, ib, lm_id)
 
     # ------------------------------------------------------------------
-    def _ransac_3d2d(self, estimator, multiframe, T_WS):
-        """Absolute-pose RANSAC over the frame's 3D-2D associations; outlier
-        observations are removed (ref runRansac3d2d, Frontend.cpp:575-642).
-
-        Fixed-capacity: ONE launch for all cameras (uniform camera model) or
-        one per camera over padded (K,) tables."""
-        K = self.cfg.max_keypoints
-        C = multiframe.num_cameras
-        sel = np.zeros((C, K), bool)
-        pts = np.zeros((C, K, 3))
-        for cam in range(C):
-            f = multiframe.frames[cam]
-            for k in np.nonzero(f.landmark_ids != 0)[0]:
-                lm_id = int(f.landmark_ids[k])
-                if not estimator.is_landmark_added(lm_id):
-                    continue
-                hp = estimator.get_landmark(lm_id)
-                if abs(hp[3]) < 1e-8:
-                    continue
-                sel[cam, k] = True
-                pts[cam, k] = hp[:3] / hp[3]
-        enough = sel.sum(axis=1) >= 8
-        if not enough.any():
-            return
-
-        uniform = len(set(self.rig.specs[:C])) == 1
-        if uniform:
-            results = kernels.ransac_3d2d_px_multicam(
-                jnp.stack([self._next_key() for _ in range(C)]),
-                self.rig.specs[0],
-                jnp.stack(estimator.intrinsics[:C]),
-                jnp.asarray(pts),
-                jnp.stack([multiframe.frames[c].keypoints.uv for c in range(C)]),
-                jnp.asarray(sel),
-                jnp.asarray([float(estimator.intrinsics[c][0]) for c in range(C)]),
-                self.cfg.ransac_threshold_px2,
-            )
-            success, inliers = jax.device_get((results.success, results.inliers))
-        else:
-            per_cam = [
-                kernels.ransac_3d2d_px(
-                    self._next_key(),
-                    self.rig.specs[cam],
-                    estimator.intrinsics[cam],
-                    jnp.asarray(pts[cam]),
-                    multiframe.frames[cam].keypoints.uv,
-                    jnp.asarray(sel[cam]),
-                    float(estimator.intrinsics[cam][0]),
-                    self.cfg.ransac_threshold_px2,
-                )
-                for cam in range(C)
-            ]
-            fetched = jax.device_get(per_cam)
-            success = np.asarray([f.success for f in fetched])
-            inliers = np.stack([f.inliers for f in fetched])
-
-        for cam in range(C):
-            if not enough[cam] or not bool(success[cam]):
-                continue
-            f = multiframe.frames[cam]
-            outliers = sel[cam] & ~inliers[cam]
-            for k in np.nonzero(outliers)[0]:
-                lm_id = int(f.landmark_ids[k])
-                estimator.remove_observation(lm_id, multiframe.id, cam, int(k))
-                multiframe.set_landmark_id(cam, int(k), 0)
-
     def _ransac_2d2d(
         self,
         estimator,

@@ -176,6 +176,7 @@ def gated_match_pairs(
 def _associate_onecam(
     spec: CameraSpec,
     threshold: int,
+    key,  # PRNG key for the folded absolute-pose RANSAC
     intr: jnp.ndarray,  # (N,)
     desc_a: jnp.ndarray,  # (P, K, 16) source descriptors
     sel3d_a: jnp.ndarray,  # (P, K) source rows carrying an INITIALIZED landmark
@@ -191,6 +192,7 @@ def _associate_onecam(
     std_b: jnp.ndarray,  # (K,) current keypoint stddev [px] (0.8·size/12)
     sigma_pos2: jnp.ndarray,  # scalar position variance for the chi² gate
     gate_radius: jnp.ndarray,  # coarse pixel cap on top of chi² (<=0: off)
+    ransac_threshold_px2: jnp.ndarray,  # focal-scaled RANSAC threshold [px²]
 ):
     """Single-camera body of the fused association round (see
     associate_multicam)."""
@@ -225,6 +227,26 @@ def _associate_onecam(
     claimed = jnp.zeros((K,), bool).at[idx].set(True, mode="drop")
     free_b2 = free_b & ~claimed
 
+    # ---- absolute-pose RANSAC over this round's 3D-2D candidates, folded
+    # into the launch (ref runRansac3d2d after matchToKeyframes,
+    # Frontend.cpp:575-642; the host applies the outlier removals after its
+    # conflict resolution). Per claimed target keypoint the NEWEST source's
+    # landmark wins, matching the host's source order: scatter oldest→newest
+    # reversed so the first source's write lands last.
+    from .ransac import ransac_absolute_pose
+
+    dtype = hp_rows.dtype
+    hp_flat = hp_rows[::-1].reshape(-1, 4)
+    w = hp_flat[:, 3]
+    pts_flat = hp_flat[:, :3] / jnp.where(jnp.abs(w) < 1e-8, 1.0, w)[:, None]
+    idx_rev = jnp.where(hit3, assign3, K)[::-1].reshape(-1)
+    pts_b = jnp.zeros((K, 3), dtype).at[idx_rev].set(pts_flat, mode="drop")
+    bear_b = back_project_batch(spec, intr, uv_b)
+    rr = ransac_absolute_pose(
+        key, pts_b, bear_b, claimed,
+        focal=intr[0], threshold_px2=ransac_threshold_px2,
+    )
+
     # ---- 2D-2D matching among the remaining free keypoints ----
     assign2 = jax.vmap(
         lambda d_a, m_a: plain_match(d_a, desc_b, m_a, free_b2, threshold=threshold)
@@ -239,27 +261,28 @@ def _associate_onecam(
         return triangulate_pairs(spec, spec, intr, intr, Ta, T_WC_b, ua, ub, m)
 
     hp, valid, par = jax.vmap(tri_one)(T_WC_a, uv_a, uv_b_pair, pmask)
-    return assign3, assign2, hp, valid, par
+    return assign3, assign2, hp, valid, par, rr.inliers, rr.num_inliers, rr.success
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "threshold"))
 def associate_onecam(
-    spec, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
+    spec, key, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
     T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sigma_pos2,
-    gate_radius, threshold=60,
+    gate_radius, ransac_threshold_px2, threshold=60,
 ):
     """Fused association round for ONE camera (mixed-spec rigs fall back to
     one launch per camera)."""
     return _associate_onecam(
-        spec, threshold, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
+        spec, threshold, key, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
         T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sigma_pos2,
-        gate_radius,
+        gate_radius, ransac_threshold_px2,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "threshold"))
 def associate_multicam(
     spec: CameraSpec,
+    keys,  # (C, ...) one PRNG key per camera for the folded RANSAC
     intrinsics: jnp.ndarray,  # (C, N)
     desc_a: jnp.ndarray,  # (P, C, K, 16)
     sel3d_a: jnp.ndarray,  # (P, C, K)
@@ -275,37 +298,41 @@ def associate_multicam(
     std_b: jnp.ndarray,  # (C, K) current keypoint stddev [px]
     sigma_pos2: jnp.ndarray,  # scalar position variance for the chi² gate
     gate_radius: jnp.ndarray,
+    ransac_threshold_px2: jnp.ndarray,
     threshold: int = 60,
 ):
     """ONE launch for a complete data-association round: 3D-2D chi²-gated
-    matching, 2D-2D matching of the leftovers, and triangulation of every
-    2D-2D match — over ALL source frames and ALL cameras of the rig.
+    matching, absolute-pose RANSAC over the 3D-2D candidates, 2D-2D
+    matching of the leftovers, and triangulation of every 2D-2D match —
+    over ALL source frames and ALL cameras of the rig.
 
-    This is the fused form of the reference's matchToKeyframes /
-    matchToLastFrame sequence (Frontend.cpp:153-233, one DenseMatcher::match
-    + triangulation per (source, camera, phase) on a thread pool): host
+    This is the fused form of the reference's matchToKeyframes +
+    runRansac3d2d + matchToLastFrame sequence (Frontend.cpp:153-233,
+    575-642; one DenseMatcher::match + triangulation per (source, camera,
+    phase) on a thread pool, then a sequential OpenGV RANSAC): host
     dispatch latency dominates per-frame cost on accelerators, so the whole
     round is a single XLA program. Requires a uniform camera model across
     the rig (vmapped over the camera axis).
 
     Returns (assign3 (P,C,K), assign2 (P,C,K), hp_W (P,C,K,4),
-    tri_valid (P,C,K), tri_parallel (P,C,K)).
+    tri_valid (P,C,K), tri_parallel (P,C,K),
+    ransac_inliers (C,K), ransac_num_inliers (C,), ransac_success (C,)).
     """
 
-    def per_cam(intr, d_a, s3, hp_r, f2a, ua, T_CW_c, T_WC_a_c, T_WC_b_c,
-                d_b, f_b, u_b, s_b):
+    def per_cam(key, intr, d_a, s3, hp_r, f2a, ua, T_CW_c, T_WC_a_c,
+                T_WC_b_c, d_b, f_b, u_b, s_b):
         return _associate_onecam(
-            spec, threshold, intr, d_a, s3, hp_r, f2a, ua,
+            spec, threshold, key, intr, d_a, s3, hp_r, f2a, ua,
             T_CW_c, T_WC_a_c, T_WC_b_c, d_b, f_b, u_b, s_b, sigma_pos2,
-            gate_radius,
+            gate_radius, ransac_threshold_px2,
         )
 
     return jax.vmap(
         per_cam,
-        in_axes=(0, 1, 1, 1, 1, 1, 0, 1, 0, 0, 0, 0, 0),
-        out_axes=1,
+        in_axes=(0, 0, 1, 1, 1, 1, 1, 0, 1, 0, 0, 0, 0, 0),
+        out_axes=(1, 1, 1, 1, 1, 0, 0, 0),
     )(
-        intrinsics, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
+        keys, intrinsics, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
         T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b,
     )
 
@@ -336,52 +363,6 @@ def stereo_match_triangulate(
         spec_a, spec_b, intr_a, intr_b, T_WC_a, T_WC_b, uv_a, uv_b[ib], pmask
     )
     return assign, hp, valid, par
-
-
-@functools.partial(jax.jit, static_argnames=("spec",))
-def ransac_3d2d_px(
-    key,
-    spec: CameraSpec,
-    intrinsics: jnp.ndarray,
-    points_W: jnp.ndarray,  # (K, 3)
-    uv: jnp.ndarray,  # (K, 2) pixels
-    sel: jnp.ndarray,  # (K,) bool
-    focal,
-    threshold_px2,
-):
-    """back-project + absolute-pose RANSAC in ONE launch (was two per
-    camera per frame on the hot path)."""
-    from .ransac import ransac_absolute_pose
-
-    bear = back_project_batch(spec, intrinsics, uv)
-    return ransac_absolute_pose(
-        key, points_W, bear, sel, focal=focal, threshold_px2=threshold_px2
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("spec",))
-def ransac_3d2d_px_multicam(
-    keys,  # (C, 2) PRNG keys
-    spec: CameraSpec,
-    intrinsics: jnp.ndarray,  # (C, N)
-    points_W: jnp.ndarray,  # (C, K, 3)
-    uv: jnp.ndarray,  # (C, K, 2)
-    sel: jnp.ndarray,  # (C, K)
-    focal: jnp.ndarray,  # (C,)
-    threshold_px2,
-):
-    """Absolute-pose RANSAC for every camera of the rig in ONE launch
-    (runRansac3d2d loops cameras sequentially, Frontend.cpp:575-642).
-    Uniform camera model required; per-camera intrinsics/focal are traced."""
-    from .ransac import ransac_absolute_pose
-
-    def one(key, intr, pts, uv_c, sel_c, f):
-        bear = back_project_batch(spec, intr, uv_c)
-        return ransac_absolute_pose(
-            key, pts, bear, sel_c, focal=f, threshold_px2=threshold_px2
-        )
-
-    return jax.vmap(one)(keys, intrinsics, points_W, uv, sel, focal)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))

@@ -10,7 +10,11 @@ then an argmax. Minimal solvers are chosen for batchability:
 
 - rotation-only: 2-point Wahba (quaternion from accumulator matrix eigenvector)
 - relative pose: 8-point essential matrix (batched SVD) scored by Sampson error
-- absolute pose: 6-point DLT (batched SVD) with orthogonalized rotation
+- absolute pose: 6-point DLT (batched SVD) with orthogonalized rotation.
+  CAVEAT: the DLT is degenerate on exactly coplanar scenes (a wall-filling
+  view) — there it returns success=False and the caller skips outlier
+  removal for that frame (graceful degradation; the reference's GP3P
+  handles planar configurations).
 
 Error thresholds follow the reference's focal-scaled convention: the SAC
 problems scale reprojection errors by (0.8/focal)⁻²

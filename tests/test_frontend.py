@@ -600,23 +600,27 @@ def test_associate_multicam_equals_per_camera(rng):
     (spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
      desc_b, free_b, uv_b, std_b, sp2) = args
     gate = jnp.asarray(40.0)
+    thr2 = jnp.asarray(9.0)
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
     multi = kernels.associate_multicam(
-        spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
-        desc_b, free_b, uv_b, std_b, sp2, gate, threshold=200,
+        spec, keys, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a,
+        T_WC_b, desc_b, free_b, uv_b, std_b, sp2, gate, thr2, threshold=200,
     )
     C = 2
     for c in range(C):
         one = kernels.associate_onecam(
-            spec, intr[c], desc_a[:, c], sel3d[:, c], hp[:, c], free2[:, c],
-            uv_a[:, c],
+            spec, keys[c], intr[c], desc_a[:, c], sel3d[:, c], hp[:, c],
+            free2[:, c], uv_a[:, c],
             kin.SE3(r=T_CW.r[c], q=T_CW.q[c]),
             kin.SE3(r=T_WC_a.r[:, c], q=T_WC_a.q[:, c]),
             kin.SE3(r=T_WC_b.r[c], q=T_WC_b.q[c]),
-            desc_b[c], free_b[c], uv_b[c], std_b[c], sp2, gate, threshold=200,
+            desc_b[c], free_b[c], uv_b[c], std_b[c], sp2, gate, thr2,
+            threshold=200,
         )
-        for m, o in zip(multi, one):
+        for k, (m, o) in enumerate(zip(multi, one)):
+            m_c = m[:, c] if k < 5 else m[c]  # last 3 outputs are per-camera
             np.testing.assert_allclose(
-                np.asarray(m[:, c]), np.asarray(o), rtol=1e-6, atol=1e-8
+                np.asarray(m_c), np.asarray(o), rtol=1e-6, atol=1e-8
             )
 
 
@@ -629,9 +633,10 @@ def test_associate_onecam_3d2d_respects_device_claims(rng):
     (spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
      desc_b, free_b, uv_b, std_b, _sp2) = args
     out = kernels.associate_multicam(
-        spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
+        spec, jax.random.split(jax.random.PRNGKey(4), 1), intr, desc_a,
+        sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
         desc_b, free_b, uv_b, std_b, jnp.asarray(1e6), jnp.asarray(1e6),
-        threshold=512,
+        jnp.asarray(9.0), threshold=512,
     )
     assign3, assign2 = np.asarray(out[0]), np.asarray(out[1])
     claimed = set(assign3[assign3 >= 0].tolist())
@@ -829,3 +834,107 @@ def test_uninitialized_landmark_upgraded_via_2d2d(rng):
     p_est = hp[:3] / hp[3]
     assert np.linalg.norm(p_est - p_W) < 0.2, f"bad re-triangulation {p_est} vs {p_W}"
     assert sum(1 for o in est.observations if o.lm_id == L) == 2
+
+
+def test_folded_ransac_removes_outlier_association(rng):
+    """The absolute-pose RANSAC folded into the association launch must
+    strip a gross geometric outlier that still passes the chi² descriptor
+    gate (ref runRansac3d2d removeOutliers, Frontend.cpp:615-640)."""
+    import jax.numpy as jnp
+
+    from okvis_tpu.cameras import NCameraSystem, pinhole as ph
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig, simulate_trajectory
+    from okvis_tpu.estimator import Estimator
+    from okvis_tpu.frontend.detection import Keypoints
+    from okvis_tpu.frontend.frame import FrameData, MultiFrame
+    from okvis_tpu.frontend.frontend import Frontend, FrontendConfig
+    from okvis_tpu.imu import ImuParams
+    from okvis_tpu.solver import WindowConfig
+
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    cfg = WindowConfig(
+        num_states=9, num_cameras=2, max_landmarks=64, max_observations=256,
+        imu_samples=32, max_imu_links=8, camera_specs=tuple(rig.specs),
+    )
+    est = Estimator(rig, ImuParams.euroc(), cfg=cfg)
+    traj = simulate_trajectory(duration=1.0, seed=9, motion_scale=0.0)
+    sids = []
+    for fi in range(2):
+        idx = fi * 20
+        lo, hi = max(0, idx - 24), idx + 5
+        sids.append(est.add_states(
+            fi * 0.1, traj.ts[lo:hi], traj.gyro[lo:hi], traj.acc[lo:hi],
+            as_keyframe=True,
+        ))
+
+    # 12 well-spread NON-coplanar world points visible in camera 0 of the
+    # current pose (the 6-pt DLT absolute-pose solver is degenerate on
+    # planar scenes)
+    T_WC = kin.compose(est.get_T_WS(sids[1]), rig.camera_T_SC(0))
+    depth_jitter = rng.uniform(-0.8, 0.8, 12)
+    pts_C = np.stack([
+        np.asarray([x, y, 4.0 + 0.3 * i + depth_jitter[i]])
+        for i, (x, y) in enumerate(
+            [(dx * 0.5, dy * 0.4) for dx in (-2, -1, 0, 1) for dy in (-1, 0, 1)]
+        )
+    ])
+    n = len(pts_C)
+    lm_ids = list(range(700, 700 + n))
+    uvs = np.zeros((n, 2))
+    for i in range(n):
+        p_W = np.asarray(kin.transform_point(T_WC, jnp.asarray(pts_C[i])))
+        uv, flag = ph.project(rig.specs[0], est.intrinsics[0], jnp.asarray(pts_C[i]))
+        assert int(flag) == 0, f"point {i} projects outside"
+        uvs[i] = np.asarray(uv)
+        est.add_landmark(lm_ids[i], p_W)
+        # >=2 observations on the SOURCE frame only (cam 0 + cam 1) so the
+        # current frame starts clean
+        est.add_observation(lm_ids[i], sids[0], 0, uvs[i], keypoint_idx=i)
+        est.add_observation(lm_ids[i], sids[0], 1, uvs[i], keypoint_idx=i)
+
+    # current-frame keypoints at the true projections, except one corrupted
+    # by 8 px — inside the chi² gate, far outside the 9 px² RANSAC threshold
+    bad = 5
+    kp_uv = uvs.copy()
+    kp_uv[bad] += np.asarray([8.0, 0.0])
+
+    K = 16
+    fe = Frontend(rig, FrontendConfig(max_keypoints=K))
+    descs = rng.integers(0, 2**32, (n, 16), dtype=np.uint32)
+
+    def make_frame(mf_id, uv_rows, lids_rows):
+        frames = []
+        for c in range(2):
+            uv = np.zeros((K, 2))
+            mask = np.zeros(K, bool)
+            dsc = np.zeros((K, 16), np.uint32)
+            lids = np.zeros(K, np.int64)
+            if c == 0:
+                uv[:n], dsc[:n], mask[:n] = uv_rows, descs, True
+                lids[:n] = lids_rows
+            frames.append(FrameData(
+                keypoints=Keypoints(uv=jnp.asarray(uv), score=jnp.ones(K),
+                                    mask=jnp.asarray(mask)),
+                descriptors=jnp.asarray(dsc),
+                landmark_ids=lids,
+            ))
+        return MultiFrame(id=mf_id, timestamp=0.0, frames=frames)
+
+    src = make_frame(sids[0], uvs, lm_ids)
+    cur = make_frame(sids[1], kp_uv, np.zeros(n, np.int64))
+    est.multiframes[sids[0]] = src
+    est.multiframes[sids[1]] = cur
+
+    n3d = fe._associate_batched(
+        est, [src], cur, est.get_T_WS(sids[1]), apply_ransac=True
+    )
+    assert n3d == n, f"expected all {n} 3D-2D matches, got {n3d}"
+    # the outlier's association must have been stripped again
+    assert int(cur.frames[0].landmark_ids[bad]) == 0, "outlier not removed"
+    kept = sum(1 for i in range(n) if int(cur.frames[0].landmark_ids[i]) != 0)
+    assert kept == n - 1, f"inliers wrongly removed: kept {kept}"
+    assert not any(
+        o.lm_id == lm_ids[bad] and o.pose_id == sids[1]
+        for o in est.observations
+    ), "outlier observation still in the table"
