@@ -263,8 +263,11 @@ class Frontend:
         if len(by_time) >= 2 and by_time[-2].id not in kf_ids:
             last_mf = estimator.multiframes.get(by_time[-2].id)
             if last_mf is not None:
+                # matchToLastFrame also runs runRansac3d2d with outlier
+                # removal (removeOutliers defaults true, Frontend.hpp:364-368)
                 self._associate_batched(
-                    estimator, [last_mf], multiframe, T_WS_prop
+                    estimator, [last_mf], multiframe, T_WS_prop,
+                    apply_ransac=True,
                 )
 
         # --- stereo matching within the multiframe (Frontend.cpp:238-268) ---
@@ -354,6 +357,21 @@ class Frontend:
             std_b[c] = 0.8 / 12.0 * (
                 np.asarray(sizes)[:K] if sizes is not None else 8.0
             )
+        # keypoints that already carry landmarks: RANSAC candidates too (the
+        # reference's noncentral adapter collects ALL current associations)
+        sel_prev = np.zeros((C, K), bool)
+        pts_prev = np.zeros((C, K, 3))
+        for c in range(C):
+            lids = frame_b.frames[c].landmark_ids
+            for i in np.nonzero(lids != 0)[0]:
+                lm_id = int(lids[i])
+                if not estimator.is_landmark_added(lm_id):
+                    continue
+                hp = estimator.hp_W[estimator.landmarks[lm_id].slot]
+                if abs(hp[3]) < 1e-8:
+                    continue  # point at infinity: no metric position
+                sel_prev[c, i] = True
+                pts_prev[c, i] = hp[:3] / hp[3]
         # velocity-scaled position uncertainty for the chi² gate
         # (ref doSetup :131-141: σ² = max(1,|v|)²·1e-2 in the IMU window)
         try:
@@ -397,11 +415,14 @@ class Frontend:
             q=jnp.asarray(np.stack([[t[1] for t in row] for row in T_WC_a_list])),
         )
 
+        T_SC_stk = kin.SE3(
+            r=jnp.asarray(estimator.r_SC[:C]), q=jnp.asarray(estimator.q_SC[:C])
+        )
         uniform = len(set(self.rig.specs[:C])) == 1
         if uniform:
             out = kernels.associate_multicam(
                 self.rig.specs[0],
-                jnp.stack([self._next_key() for _ in range(C)]),
+                self._next_key(),
                 jnp.stack(estimator.intrinsics[:C]),
                 desc_a_j,
                 jnp.asarray(sel_a),
@@ -415,15 +436,20 @@ class Frontend:
                 jnp.asarray(np.stack(free_b_np)),
                 uv_b_j,
                 jnp.asarray(std_b),
+                jnp.asarray(sel_prev),
+                jnp.asarray(pts_prev),
+                T_SC_stk,
                 sigma_pos2,
                 jnp.asarray(cfg.gate_radius_px),
                 jnp.asarray(cfg.ransac_threshold_px2),
                 threshold=cfg.matching_threshold,
             )
             (assign3_all, assign2_all, hp_all, val_all, par_all,
-             rs_inliers, _rs_num, rs_success) = jax.device_get(out)
+             rs_inliers, rs_num, _rs_success) = jax.device_get(out)
+            rs_num = np.full(C, int(rs_num))  # rig-pooled count
         else:
-            # mixed camera models: one fused launch per camera
+            # mixed camera models: one fused launch per camera (the folded
+            # RANSAC then pools per camera rather than rig-wide)
             parts = []
             for c in range(C):
                 parts.append(
@@ -443,6 +469,9 @@ class Frontend:
                         jnp.asarray(free_b_np[c]),
                         uv_b_j[c],
                         jnp.asarray(std_b[c]),
+                        jnp.asarray(sel_prev[c]),
+                        jnp.asarray(pts_prev[c]),
+                        kin.SE3(r=T_SC_stk.r[c], q=T_SC_stk.q[c]),
                         sigma_pos2,
                         jnp.asarray(cfg.gate_radius_px),
                         jnp.asarray(cfg.ransac_threshold_px2),
@@ -456,7 +485,8 @@ class Frontend:
             val_all = np.stack([f[3] for f in fetched], axis=1)
             par_all = np.stack([f[4] for f in fetched], axis=1)
             rs_inliers = np.stack([f[5] for f in fetched])
-            rs_success = np.asarray([f[7] for f in fetched])
+            # per-camera pools: each camera applies under its own count
+            rs_num = np.asarray([int(f[6]) for f in fetched])
 
         # ---------- host resolution, camera by camera ----------
         for cam in range(C):
@@ -591,27 +621,27 @@ class Frontend:
                     fa.landmark_ids[ia] = lm_id
                     frame_b.set_landmark_id(cam, ib, lm_id)
 
-            # ---- apply the folded 3D-2D RANSAC's outlier removals
-            # (runRansac3d2d with removeOutliers, Frontend.cpp:615-640) —
-            # only on the keyframe round; the reference's last-frame round
-            # runs it with removeOutliers=false, i.e. a no-op ----
-            if apply_ransac:
+            # ---- apply the folded 3D-2D RANSAC's outlier removals over
+            # this round's candidates AND pre-existing associations, gated
+            # on >=10 rig inliers (ref runRansac3d2d removeOutliers,
+            # Frontend.cpp:613-640) ----
+            if apply_ransac and int(rs_num[cam]) >= 10:
                 cand = assign3_all[:, cam]
-                uniq = np.unique(cand[cand >= 0])
-                if uniq.size >= 8 and bool(rs_success[cam]):
-                    outl = ~rs_inliers[cam]
-                    for ib in uniq:
-                        ib = int(ib)
-                        if not outl[ib]:
-                            continue
-                        lm_id = int(fb.landmark_ids[ib])
-                        if lm_id == 0:
-                            continue  # host never resolved this candidate
-                        if estimator.is_landmark_added(lm_id):
-                            estimator.remove_observation(
-                                lm_id, frame_b.id, cam, ib
-                            )
-                        frame_b.set_landmark_id(cam, ib, 0)
+                targets = set(np.unique(cand[cand >= 0]).tolist())
+                targets.update(np.nonzero(sel_prev[cam])[0].tolist())
+                outl = ~rs_inliers[cam]
+                for ib in sorted(targets):
+                    ib = int(ib)
+                    if not outl[ib]:
+                        continue
+                    lm_id = int(fb.landmark_ids[ib])
+                    if lm_id == 0:
+                        continue  # host never resolved this candidate
+                    if estimator.is_landmark_added(lm_id):
+                        estimator.remove_observation(
+                            lm_id, frame_b.id, cam, ib
+                        )
+                    frame_b.set_landmark_id(cam, ib, 0)
         return n3d
 
     # ------------------------------------------------------------------

@@ -176,7 +176,6 @@ def gated_match_pairs(
 def _associate_onecam(
     spec: CameraSpec,
     threshold: int,
-    key,  # PRNG key for the folded absolute-pose RANSAC
     intr: jnp.ndarray,  # (N,)
     desc_a: jnp.ndarray,  # (P, K, 16) source descriptors
     sel3d_a: jnp.ndarray,  # (P, K) source rows carrying an INITIALIZED landmark
@@ -190,9 +189,10 @@ def _associate_onecam(
     free_b: jnp.ndarray,  # (K,) free at round start
     uv_b: jnp.ndarray,  # (K, 2)
     std_b: jnp.ndarray,  # (K,) current keypoint stddev [px] (0.8·size/12)
+    sel_prev: jnp.ndarray,  # (K,) current keypoints already carrying landmarks
+    pts_prev: jnp.ndarray,  # (K, 3) their world positions (RANSAC candidates)
     sigma_pos2: jnp.ndarray,  # scalar position variance for the chi² gate
     gate_radius: jnp.ndarray,  # coarse pixel cap on top of chi² (<=0: off)
-    ransac_threshold_px2: jnp.ndarray,  # focal-scaled RANSAC threshold [px²]
 ):
     """Single-camera body of the fused association round (see
     associate_multicam)."""
@@ -227,25 +227,22 @@ def _associate_onecam(
     claimed = jnp.zeros((K,), bool).at[idx].set(True, mode="drop")
     free_b2 = free_b & ~claimed
 
-    # ---- absolute-pose RANSAC over this round's 3D-2D candidates, folded
-    # into the launch (ref runRansac3d2d after matchToKeyframes,
-    # Frontend.cpp:575-642; the host applies the outlier removals after its
-    # conflict resolution). Per claimed target keypoint the NEWEST source's
-    # landmark wins, matching the host's source order: scatter oldest→newest
-    # reversed so the first source's write lands last.
-    from .ransac import ransac_absolute_pose
-
+    # ---- RANSAC candidate tables for the rig-level absolute-pose RANSAC
+    # run after the camera vmap (ref FrameNoncentralAbsoluteAdapter collects
+    # ALL current-frame landmark associations, FrameNoncentralAbsoluteAdapter
+    # .cpp + runRansac3d2d Frontend.cpp:575-642): this round's candidates
+    # (per claimed target keypoint the NEWEST source's landmark wins —
+    # scatter oldest→newest reversed so the first source's write lands last)
+    # merged with the keypoints that already carried landmarks.
     dtype = hp_rows.dtype
     hp_flat = hp_rows[::-1].reshape(-1, 4)
     w = hp_flat[:, 3]
     pts_flat = hp_flat[:, :3] / jnp.where(jnp.abs(w) < 1e-8, 1.0, w)[:, None]
     idx_rev = jnp.where(hit3, assign3, K)[::-1].reshape(-1)
     pts_b = jnp.zeros((K, 3), dtype).at[idx_rev].set(pts_flat, mode="drop")
+    pts_b = jnp.where(sel_prev[:, None], pts_prev, pts_b)
+    ransac_sel = claimed | sel_prev
     bear_b = back_project_batch(spec, intr, uv_b)
-    rr = ransac_absolute_pose(
-        key, pts_b, bear_b, claimed,
-        focal=intr[0], threshold_px2=ransac_threshold_px2,
-    )
 
     # ---- 2D-2D matching among the remaining free keypoints ----
     assign2 = jax.vmap(
@@ -261,28 +258,38 @@ def _associate_onecam(
         return triangulate_pairs(spec, spec, intr, intr, Ta, T_WC_b, ua, ub, m)
 
     hp, valid, par = jax.vmap(tri_one)(T_WC_a, uv_a, uv_b_pair, pmask)
-    return assign3, assign2, hp, valid, par, rr.inliers, rr.num_inliers, rr.success
+    return assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "threshold"))
 def associate_onecam(
     spec, key, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
-    T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sigma_pos2,
-    gate_radius, ransac_threshold_px2, threshold=60,
+    T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev,
+    T_SC, sigma_pos2, gate_radius, ransac_threshold_px2, threshold=60,
 ):
     """Fused association round for ONE camera (mixed-spec rigs fall back to
-    one launch per camera)."""
-    return _associate_onecam(
-        spec, threshold, key, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
-        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sigma_pos2,
-        gate_radius, ransac_threshold_px2,
+    one launch per camera; the folded RANSAC then pools only this camera's
+    correspondences instead of the whole rig's)."""
+    from .ransac import ransac_absolute_rig
+
+    out = _associate_onecam(
+        spec, threshold, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
+        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev,
+        pts_prev, sigma_pos2, gate_radius,
     )
+    assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b = out
+    rr = ransac_absolute_rig(
+        key, T_SC.r[None], T_SC.q[None], pts_b[None], bear_b[None],
+        ransac_sel[None], intr[0][None], threshold_px2=ransac_threshold_px2,
+    )
+    return (assign3, assign2, hp, valid, par,
+            rr.inliers[0], rr.num_inliers, rr.success)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "threshold"))
 def associate_multicam(
     spec: CameraSpec,
-    keys,  # (C, ...) one PRNG key per camera for the folded RANSAC
+    key,  # PRNG key for the folded rig-level RANSAC
     intrinsics: jnp.ndarray,  # (C, N)
     desc_a: jnp.ndarray,  # (P, C, K, 16)
     sel3d_a: jnp.ndarray,  # (P, C, K)
@@ -296,45 +303,55 @@ def associate_multicam(
     free_b: jnp.ndarray,  # (C, K)
     uv_b: jnp.ndarray,  # (C, K, 2)
     std_b: jnp.ndarray,  # (C, K) current keypoint stddev [px]
+    sel_prev: jnp.ndarray,  # (C, K) keypoints already carrying landmarks
+    pts_prev: jnp.ndarray,  # (C, K, 3) their world positions
+    T_SC: kin.SE3,  # batched (C,...) camera extrinsics (rig RANSAC)
     sigma_pos2: jnp.ndarray,  # scalar position variance for the chi² gate
     gate_radius: jnp.ndarray,
     ransac_threshold_px2: jnp.ndarray,
     threshold: int = 60,
 ):
     """ONE launch for a complete data-association round: 3D-2D chi²-gated
-    matching, absolute-pose RANSAC over the 3D-2D candidates, 2D-2D
-    matching of the leftovers, and triangulation of every 2D-2D match —
-    over ALL source frames and ALL cameras of the rig.
+    matching, RIG-LEVEL absolute-pose RANSAC over all cameras' 3D-2D
+    associations, 2D-2D matching of the leftovers, and triangulation of
+    every 2D-2D match — over ALL source frames and ALL cameras of the rig.
 
     This is the fused form of the reference's matchToKeyframes +
     runRansac3d2d + matchToLastFrame sequence (Frontend.cpp:153-233,
     575-642; one DenseMatcher::match + triangulation per (source, camera,
-    phase) on a thread pool, then a sequential OpenGV RANSAC): host
-    dispatch latency dominates per-frame cost on accelerators, so the whole
-    round is a single XLA program. Requires a uniform camera model across
-    the rig (vmapped over the camera axis).
+    phase) on a thread pool, then a sequential OpenGV noncentral RANSAC):
+    host dispatch latency dominates per-frame cost on accelerators, so the
+    whole round is a single XLA program. Requires a uniform camera model
+    across the rig (vmapped over the camera axis).
 
     Returns (assign3 (P,C,K), assign2 (P,C,K), hp_W (P,C,K,4),
     tri_valid (P,C,K), tri_parallel (P,C,K),
-    ransac_inliers (C,K), ransac_num_inliers (C,), ransac_success (C,)).
+    ransac_inliers (C,K), ransac_num_inliers (), ransac_success ()).
     """
+    from .ransac import ransac_absolute_rig
 
-    def per_cam(key, intr, d_a, s3, hp_r, f2a, ua, T_CW_c, T_WC_a_c,
-                T_WC_b_c, d_b, f_b, u_b, s_b):
+    def per_cam(intr, d_a, s3, hp_r, f2a, ua, T_CW_c, T_WC_a_c,
+                T_WC_b_c, d_b, f_b, u_b, s_b, sp, pp):
         return _associate_onecam(
-            spec, threshold, key, intr, d_a, s3, hp_r, f2a, ua,
-            T_CW_c, T_WC_a_c, T_WC_b_c, d_b, f_b, u_b, s_b, sigma_pos2,
-            gate_radius, ransac_threshold_px2,
+            spec, threshold, intr, d_a, s3, hp_r, f2a, ua,
+            T_CW_c, T_WC_a_c, T_WC_b_c, d_b, f_b, u_b, s_b, sp, pp,
+            sigma_pos2, gate_radius,
         )
 
-    return jax.vmap(
+    (assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b) = jax.vmap(
         per_cam,
-        in_axes=(0, 0, 1, 1, 1, 1, 1, 0, 1, 0, 0, 0, 0, 0),
+        in_axes=(0, 1, 1, 1, 1, 1, 0, 1, 0, 0, 0, 0, 0, 0, 0),
         out_axes=(1, 1, 1, 1, 1, 0, 0, 0),
     )(
-        keys, intrinsics, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
-        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b,
+        intrinsics, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
+        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev,
     )
+    rr = ransac_absolute_rig(
+        key, T_SC.r, T_SC.q, pts_b, bear_b, ransac_sel,
+        intrinsics[:, 0], threshold_px2=ransac_threshold_px2,
+    )
+    return (assign3, assign2, hp, valid, par,
+            rr.inliers, rr.num_inliers, rr.success)
 
 
 @functools.partial(jax.jit, static_argnames=("spec_a", "spec_b", "threshold"))

@@ -172,28 +172,14 @@ def ransac_relative_pose(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n_hyp",))
-def ransac_absolute_pose(
-    key,
-    points_W: jnp.ndarray,  # (N, 3) landmark positions
-    bearings_C: jnp.ndarray,  # (N, 3) unit bearings in camera frame
-    mask: jnp.ndarray,
-    focal: float = 460.0,
-    threshold_px2: float = 9.0,
-    n_hyp: int = 64,
-) -> RansacResult:
-    """Camera-pose RANSAC from 3D-2D matches
-    (ref runRansac3d2d, Frontend.cpp:575-642: 50 iterations, threshold 9).
-
-    Model: flattened [R_CW | t_C] (3,4); x_C ∝ R_CW p_W + t.
-    """
+def _dlt_absolute_models(key, points_W, uv, mask, n_hyp: int) -> jnp.ndarray:
+    """(n_hyp, 3, 4) central absolute-pose models [R_CW | t_C] from 6-point
+    DLT samples drawn from the masked correspondences."""
     N = points_W.shape[0]
     n_valid = jnp.maximum(jnp.sum(mask), 1)
     idx = _sample_indices(key, n_hyp, 6, n_valid, N)
     valid_idx = jnp.nonzero(mask, size=N, fill_value=0)[0]
     idx = valid_idx[idx]
-
-    uv = bearings_C[:, :2] / jnp.maximum(bearings_C[:, 2:3], 1e-6)  # (N,2)
 
     def solve(sample):
         P = points_W[sample]  # (6,3)
@@ -216,7 +202,26 @@ def ransac_absolute_pose(
         t = p[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1.0, scale)
         return jnp.concatenate([R, t[:, None]], axis=1)  # (3,4)
 
-    Ms = jax.vmap(solve)(idx)  # (n_hyp, 3, 4)
+    return jax.vmap(solve)(idx)  # (n_hyp, 3, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_absolute_pose(
+    key,
+    points_W: jnp.ndarray,  # (N, 3) landmark positions
+    bearings_C: jnp.ndarray,  # (N, 3) unit bearings in camera frame
+    mask: jnp.ndarray,
+    focal: float = 460.0,
+    threshold_px2: float = 9.0,
+    n_hyp: int = 64,
+) -> RansacResult:
+    """Camera-pose RANSAC from 3D-2D matches
+    (ref runRansac3d2d, Frontend.cpp:575-642: 50 iterations, threshold 9).
+
+    Model: flattened [R_CW | t_C] (3,4); x_C ∝ R_CW p_W + t.
+    """
+    uv = bearings_C[:, :2] / jnp.maximum(bearings_C[:, 2:3], 1e-6)  # (N,2)
+    Ms = _dlt_absolute_models(key, points_W, uv, mask, n_hyp)
     p_C = jnp.einsum("hij,nj->hni", Ms[:, :, :3], points_W) + Ms[:, None, :, 3]
     z = p_C[..., 2]
     proj = p_C[..., :2] / jnp.maximum(jnp.abs(z[..., None]), 1e-6)
@@ -228,6 +233,71 @@ def ransac_absolute_pose(
         inliers=inl[best],
         num_inliers=counts[best],
         model=Ms[best].ravel(),
+        success=counts[best] >= 6,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp_per_cam",))
+def ransac_absolute_rig(
+    key,
+    r_SC: jnp.ndarray,  # (C, 3) camera-in-body translations
+    q_SC: jnp.ndarray,  # (C, 4) camera-in-body quaternions (xyzw)
+    points_W: jnp.ndarray,  # (C, K, 3) landmark positions per camera slot
+    bearings_C: jnp.ndarray,  # (C, K, 3) unit bearings in each camera frame
+    mask: jnp.ndarray,  # (C, K) candidate correspondences
+    focal: jnp.ndarray,  # (C,) focal lengths for the pixel threshold
+    threshold_px2: jnp.ndarray = 9.0,
+    n_hyp_per_cam: int = 64,
+) -> RansacResult:
+    """Rig-level absolute-pose RANSAC pooling ALL cameras' correspondences
+    (ref FrameNoncentralAbsoluteAdapter + GP3P runRansac3d2d,
+    Frontend.cpp:575-642): hypotheses come from per-camera central 6-pt DLT
+    solves mapped through the known extrinsics to a body pose T_SW, and
+    every hypothesis is scored against every camera's correspondences.
+    Cameras with <6 candidates contribute no hypotheses but still vote.
+
+    Model: flattened [R_SW | t_SW] (3,4); p_S = R_SW p_W + t_SW.
+    Returns inliers with shape (C, K).
+    """
+    from ..kinematics import quat_to_matrix
+
+    C, K = mask.shape
+    keys = jax.random.split(key, C)
+    C_SC = jax.vmap(quat_to_matrix)(q_SC)  # (C, 3, 3)
+    uv = bearings_C[..., :2] / jnp.maximum(bearings_C[..., 2:3], 1e-6)
+
+    def models_of_cam(c_key, pts_c, uv_c, m_c, C_sc, r_sc):
+        Ms = _dlt_absolute_models(c_key, pts_c, uv_c, m_c, n_hyp_per_cam)
+        # T_SW = T_SC ∘ T_CW:  R_SW = C_SC·R_CW,  t_SW = C_SC·t_C + r_SC
+        R_SW = jnp.einsum("ab,hbj->haj", C_sc, Ms[:, :, :3])
+        t_SW = jnp.einsum("ab,hb->ha", C_sc, Ms[:, :, 3]) + r_sc
+        valid = jnp.sum(m_c) >= 6
+        return jnp.concatenate([R_SW, t_SW[..., None]], axis=-1), valid
+
+    Ms_c, valid_c = jax.vmap(models_of_cam)(
+        keys, points_W, uv, mask, C_SC, r_SC
+    )  # (C, H, 3, 4), (C,)
+    M = Ms_c.reshape(-1, 3, 4)  # (C·H, 3, 4)
+    hyp_valid = jnp.repeat(valid_c, n_hyp_per_cam)  # (C·H,)
+
+    # score every hypothesis against every camera's correspondences
+    p_S = (
+        jnp.einsum("hij,ckj->hcki", M[:, :, :3], points_W) + M[:, None, None, :, 3]
+    )  # (H', C, K, 3)
+    p_C = jnp.einsum("cab,hckb->hcka", C_SC.transpose(0, 2, 1),
+                     p_S - r_SC[None, :, None, :])
+    z = p_C[..., 2]
+    proj = p_C[..., :2] / jnp.maximum(jnp.abs(z[..., None]), 1e-6)
+    err_px2 = jnp.sum((proj - uv[None]) ** 2, axis=-1) * (
+        focal[None, :, None] ** 2
+    )
+    inl = (err_px2 < threshold_px2) & (z > 0) & mask[None]
+    counts = jnp.where(hyp_valid, jnp.sum(inl, axis=(1, 2)), -1)
+    best = jnp.argmax(counts)
+    return RansacResult(
+        inliers=inl[best],
+        num_inliers=jnp.maximum(counts[best], 0),
+        model=M[best].ravel(),
         success=counts[best] >= 6,
     )
 

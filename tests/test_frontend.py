@@ -582,45 +582,56 @@ def _random_assoc_inputs(rng, P=2, C=2, K=24):
     T_CW = rand_pose((C,))
     T_WC_a = rand_pose((P, C))
     T_WC_b = rand_pose((C,))
+    T_SC = kin.SE3(
+        r=jnp.asarray(np.zeros((C, 3))),
+        q=jnp.asarray(np.tile([0.0, 0, 0, 1.0], (C, 1))),
+    )
     std_b = np.full((C, K), 0.8 * 8.0 / 12.0)
+    sel_prev = np.zeros((C, K), bool)
+    pts_prev = np.zeros((C, K, 3))
     return (
         spec, jnp.asarray(intr), jnp.asarray(desc_a), jnp.asarray(sel3d),
         jnp.asarray(hp), jnp.asarray(free2), jnp.asarray(uv_a), T_CW,
         T_WC_a, T_WC_b, jnp.asarray(desc_b), jnp.asarray(free_b),
-        jnp.asarray(uv_b), jnp.asarray(std_b), jnp.asarray(1e-2),
+        jnp.asarray(uv_b), jnp.asarray(std_b), jnp.asarray(sel_prev),
+        jnp.asarray(pts_prev), T_SC, jnp.asarray(1e-2),
     )
 
 
 def test_associate_multicam_equals_per_camera(rng):
     """The camera-vmapped fused kernel must agree with the single-camera
-    fused kernel (the mixed-spec fallback path) slice by slice."""
+    fused kernel (the mixed-spec fallback path) slice by slice — on the
+    matching/triangulation outputs (the folded RANSAC differs by design:
+    rig-pooled vs per-camera)."""
     from okvis_tpu.frontend import kernels
 
     args = _random_assoc_inputs(rng)
     (spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
-     desc_b, free_b, uv_b, std_b, sp2) = args
+     desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC, sp2) = args
     gate = jnp.asarray(40.0)
     thr2 = jnp.asarray(9.0)
-    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    key = jax.random.PRNGKey(3)
     multi = kernels.associate_multicam(
-        spec, keys, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a,
-        T_WC_b, desc_b, free_b, uv_b, std_b, sp2, gate, thr2, threshold=200,
+        spec, key, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a,
+        T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC,
+        sp2, gate, thr2, threshold=200,
     )
     C = 2
     for c in range(C):
         one = kernels.associate_onecam(
-            spec, keys[c], intr[c], desc_a[:, c], sel3d[:, c], hp[:, c],
+            spec, key, intr[c], desc_a[:, c], sel3d[:, c], hp[:, c],
             free2[:, c], uv_a[:, c],
             kin.SE3(r=T_CW.r[c], q=T_CW.q[c]),
             kin.SE3(r=T_WC_a.r[:, c], q=T_WC_a.q[:, c]),
             kin.SE3(r=T_WC_b.r[c], q=T_WC_b.q[c]),
-            desc_b[c], free_b[c], uv_b[c], std_b[c], sp2, gate, thr2,
-            threshold=200,
+            desc_b[c], free_b[c], uv_b[c], std_b[c], sel_prev[c],
+            pts_prev[c],
+            kin.SE3(r=T_SC.r[c], q=T_SC.q[c]),
+            sp2, gate, thr2, threshold=200,
         )
-        for k, (m, o) in enumerate(zip(multi, one)):
-            m_c = m[:, c] if k < 5 else m[c]  # last 3 outputs are per-camera
+        for m, o in list(zip(multi, one))[:5]:
             np.testing.assert_allclose(
-                np.asarray(m_c), np.asarray(o), rtol=1e-6, atol=1e-8
+                np.asarray(m[:, c]), np.asarray(o), rtol=1e-6, atol=1e-8
             )
 
 
@@ -631,12 +642,12 @@ def test_associate_onecam_3d2d_respects_device_claims(rng):
 
     args = _random_assoc_inputs(rng, P=3, C=1, K=32)
     (spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
-     desc_b, free_b, uv_b, std_b, _sp2) = args
+     desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC, _sp2) = args
     out = kernels.associate_multicam(
-        spec, jax.random.split(jax.random.PRNGKey(4), 1), intr, desc_a,
+        spec, jax.random.PRNGKey(4), intr, desc_a,
         sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
-        desc_b, free_b, uv_b, std_b, jnp.asarray(1e6), jnp.asarray(1e6),
-        jnp.asarray(9.0), threshold=512,
+        desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC,
+        jnp.asarray(1e6), jnp.asarray(1e6), jnp.asarray(9.0), threshold=512,
     )
     assign3, assign2 = np.asarray(out[0]), np.asarray(out[1])
     claimed = set(assign3[assign3 >= 0].tolist())
@@ -938,3 +949,57 @@ def test_folded_ransac_removes_outlier_association(rng):
         o.lm_id == lm_ids[bad] and o.pose_id == sids[1]
         for o in est.observations
     ), "outlier observation still in the table"
+
+
+def test_rig_ransac_pools_cameras(rng):
+    """Rig-level RANSAC parity (ref FrameNoncentralAbsoluteAdapter): an
+    outlier in a camera with too few correspondences for a standalone
+    per-camera RANSAC (5 < 6-pt minimal sample) is still caught because
+    hypotheses from the other camera score ALL cameras' correspondences."""
+    import jax.numpy as jnp
+
+    from okvis_tpu.frontend.ransac import ransac_absolute_rig
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig
+    from okvis_tpu.cameras import pinhole as ph
+
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    C, K = 2, 16
+    # body pose = identity; world points in front of the rig
+    r_SC = np.asarray(T_SC.r)
+    q_SC = np.asarray(T_SC.q)
+    counts = [8, 5]  # cam1 alone cannot form a 6-point hypothesis
+    pts = np.zeros((C, K, 3))
+    bear = np.zeros((C, K, 3))
+    sel = np.zeros((C, K), bool)
+    depth_jitter = rng.uniform(-0.7, 0.7, (C, K))
+    from okvis_tpu import kinematics as kin
+
+    for c in range(C):
+        for i in range(counts[c]):
+            p_C = np.asarray([
+                ((i % 4) - 1.5) * 0.5, ((i // 4) - 1.0) * 0.45,
+                4.0 + 0.35 * i + depth_jitter[c, i],
+            ])
+            T = kin.SE3(r=jnp.asarray(r_SC[c]), q=jnp.asarray(q_SC[c]))
+            p_W = np.asarray(kin.transform_point(T, jnp.asarray(p_C)))
+            pts[c, i] = p_W
+            bear[c, i] = p_C / np.linalg.norm(p_C)
+            sel[c, i] = True
+    # corrupt ONE cam1 bearing: rotate it ~1 deg (≈8 px at f=460)
+    bad = 2
+    v = bear[1, bad]
+    perp = np.cross(v, [0.0, 0.0, 1.0])
+    perp /= np.linalg.norm(perp)
+    bear[1, bad] = v * np.cos(0.018) + perp * np.sin(0.018)
+
+    res = ransac_absolute_rig(
+        jax.random.PRNGKey(11), jnp.asarray(r_SC), jnp.asarray(q_SC),
+        jnp.asarray(pts), jnp.asarray(bear), jnp.asarray(sel),
+        jnp.asarray([float(intrinsics[c][0]) for c in range(C)]),
+        threshold_px2=jnp.asarray(9.0),
+    )
+    assert bool(res.success)
+    assert int(res.num_inliers) == sum(counts) - 1
+    inl = np.asarray(res.inliers)
+    assert not inl[1, bad], "pooled RANSAC missed the cam1 outlier"
+    assert inl[0, :8].all() and inl[1, :5].sum() == 4
