@@ -65,6 +65,7 @@ class Frontend:
         self.cfg = cfg or FrontendConfig()
         self.is_initialized = False
         self._rng_key = jax.random.PRNGKey(7)
+        self._pending_stereo = None  # fused stereo results awaiting resolution
 
     def _next_key(self):
         self._rng_key, k = jax.random.split(self._rng_key)
@@ -209,9 +210,16 @@ class Frontend:
             if kf_mf is not None:
                 sources.append(kf_mf)
 
+        # uniform-model rigs carry the intra-frame stereo matching inside the
+        # keyframe-association launch; its results are resolved after the
+        # last-frame round (below)
+        uniform = len(set(self.rig.specs[: multiframe.num_cameras])) == 1
+        pairs = self._stereo_pairs(multiframe.num_cameras) if uniform else ()
+        self._pending_stereo = None
         num_3d2d = (
             self._associate_batched(
-                estimator, sources, multiframe, T_WS_prop, apply_ransac=True
+                estimator, sources, multiframe, T_WS_prop, apply_ransac=True,
+                stereo_pairs=pairs,
             )
             if sources
             else 0
@@ -270,8 +278,22 @@ class Frontend:
                     apply_ransac=True,
                 )
 
-        # --- stereo matching within the multiframe (Frontend.cpp:238-268) ---
-        self._match_stereo(estimator, multiframe, T_WS_prop)
+        # --- stereo matching within the multiframe (Frontend.cpp:238-268):
+        # resolved from the fused launch's precomputed results when present,
+        # otherwise its own launch (first frame, mixed-spec rigs) ---
+        if (
+            self._pending_stereo is not None
+            and self._pending_stereo[0] == multiframe.id
+        ):
+            _fid, prs, (s_assign, s_hp, s_valid, s_par) = self._pending_stereo
+            self._pending_stereo = None
+            for i, (ca, cb) in enumerate(prs):
+                self._resolve_stereo_pair(
+                    estimator, multiframe, ca, cb,
+                    s_assign[i], s_hp[i], s_valid[i], s_par[i],
+                )
+        else:
+            self._match_stereo(estimator, multiframe, T_WS_prop)
 
         return as_keyframe
 
@@ -283,6 +305,7 @@ class Frontend:
         frame_b: MultiFrame,
         T_WS_b: kin.SE3,
         apply_ransac: bool = False,
+        stereo_pairs: tuple = (),
     ) -> int:
         """3D-2D + 2D-2D association of all source frames against the current
         frame in ONE fused kernel launch for the whole rig (the batched form
@@ -443,10 +466,15 @@ class Frontend:
                 jnp.asarray(cfg.gate_radius_px),
                 jnp.asarray(cfg.ransac_threshold_px2),
                 threshold=cfg.matching_threshold,
+                stereo_pairs=stereo_pairs,
             )
             (assign3_all, assign2_all, hp_all, val_all, par_all,
-             rs_inliers, rs_num, _rs_success) = jax.device_get(out)
+             rs_inliers, rs_num, _rs_success, stereo_out) = jax.device_get(out)
             rs_num = np.full(C, int(rs_num))  # rig-pooled count
+            if stereo_pairs:
+                # stash the fused stereo results: resolved by the caller
+                # AFTER the last-frame round (drop-on-conflict, late claims)
+                self._pending_stereo = (frame_b.id, stereo_pairs, stereo_out)
         else:
             # mixed camera models: one fused launch per camera (the folded
             # RANSAC then pools per camera rather than rig-wide)
@@ -651,16 +679,22 @@ class Frontend:
             return kin.compose(state_or_T, T_SC)
         return kin.compose(estimator.get_T_WS(state_or_T), T_SC)
 
+    def _stereo_pairs(self, C: int):
+        return tuple(
+            (ca, cb)
+            for ca in range(C)
+            for cb in range(ca + 1, C)
+            if self.rig.overlaps is None or self.rig.has_overlap(ca, cb)
+        )
+
     def _match_stereo(self, estimator, multiframe, T_WS):
         """Intra-multiframe matching across overlapping camera pairs
         (Frontend.cpp:521-572). Matching AND triangulation of every match
         run in one launch per pair (kernels.stereo_match_triangulate); the
-        host only resolves conflicts and creates landmarks."""
-        C = multiframe.num_cameras
-        for ca in range(C):
-            for cb in range(ca + 1, C):
-                if self.rig.overlaps is not None and not self.rig.has_overlap(ca, cb):
-                    continue
+        host only resolves conflicts and creates landmarks. Used when no
+        keyframe-association launch carried the fused stereo phase (first
+        frame, mixed-spec rigs)."""
+        for ca, cb in self._stereo_pairs(multiframe.num_cameras):
                 fa, fb = multiframe.frames[ca], multiframe.frames[cb]
                 free_a = np.asarray(fa.keypoints.mask) & (fa.landmark_ids == 0)
                 free_b = np.asarray(fb.keypoints.mask) & (fb.landmark_ids == 0)
@@ -685,38 +719,49 @@ class Frontend:
                         threshold=self.cfg.matching_threshold,
                     )
                 )
-                uva_np = np.asarray(fa.keypoints.uv)
-                uvb_np = np.asarray(fb.keypoints.uv)
-                for ia in np.nonzero((assign >= 0) & valid)[0]:
-                    ib = int(assign[ia])
-                    ia = int(ia)
-                    if fa.landmark_ids[ia] != 0 or fb.landmark_ids[ib] != 0:
-                        continue
-                    w = hp[ia, 3]
-                    lm_id = IdProvider.new_id()
-                    try:
-                        if par[ia] or abs(w) < 1e-6:
-                            # parallel rays: point at infinity (w≈1e-3), kept
-                            # as an uninitialized landmark constraining
-                            # rotation only (ref triangulateFast parallel path)
-                            estimator.add_landmark(lm_id, hp[ia], initialized=False)
-                        else:
-                            estimator.add_landmark(lm_id, hp[ia, :3] / w)
-                    except RuntimeError:
-                        break  # landmark table full
-                    ok1 = estimator.add_observation(
-                        lm_id, multiframe.id, ca, uva_np[ia], keypoint_idx=ia,
-                        size=fa.keypoint_size(ia),
-                    )
-                    ok2 = ok1 and estimator.add_observation(
-                        lm_id, multiframe.id, cb, uvb_np[ib], keypoint_idx=ib,
-                        size=fb.keypoint_size(ib),
-                    )
-                    if not ok2:
-                        estimator._remove_landmark(lm_id)
-                        break
-                    multiframe.set_landmark_id(ca, ia, lm_id)
-                    multiframe.set_landmark_id(cb, ib, lm_id)
+                self._resolve_stereo_pair(
+                    estimator, multiframe, ca, cb, assign, hp, valid, par
+                )
+
+    def _resolve_stereo_pair(
+        self, estimator, multiframe, ca, cb, assign, hp_arr, valid, par
+    ):
+        """Create landmarks from a stereo match+triangulation result,
+        dropping pairs whose keypoints were claimed since (ref setBestMatch
+        2D-2D path semantics)."""
+        fa, fb = multiframe.frames[ca], multiframe.frames[cb]
+        uva_np = np.asarray(fa.keypoints.uv)
+        uvb_np = np.asarray(fb.keypoints.uv)
+        for ia in np.nonzero((assign >= 0) & valid)[0]:
+            ib = int(assign[ia])
+            ia = int(ia)
+            if fa.landmark_ids[ia] != 0 or fb.landmark_ids[ib] != 0:
+                continue
+            w = hp_arr[ia, 3]
+            lm_id = IdProvider.new_id()
+            try:
+                if par[ia] or abs(w) < 1e-6:
+                    # parallel rays: point at infinity (w≈1e-3), kept as an
+                    # uninitialized landmark constraining rotation only
+                    # (ref triangulateFast parallel path)
+                    estimator.add_landmark(lm_id, hp_arr[ia], initialized=False)
+                else:
+                    estimator.add_landmark(lm_id, hp_arr[ia, :3] / w)
+            except RuntimeError:
+                break  # landmark table full
+            ok1 = estimator.add_observation(
+                lm_id, multiframe.id, ca, uva_np[ia], keypoint_idx=ia,
+                size=fa.keypoint_size(ia),
+            )
+            ok2 = ok1 and estimator.add_observation(
+                lm_id, multiframe.id, cb, uvb_np[ib], keypoint_idx=ib,
+                size=fb.keypoint_size(ib),
+            )
+            if not ok2:
+                estimator._remove_landmark(lm_id)
+                break
+            multiframe.set_landmark_id(ca, ia, lm_id)
+            multiframe.set_landmark_id(cb, ib, lm_id)
 
     # ------------------------------------------------------------------
     def _ransac_2d2d(

@@ -258,7 +258,12 @@ def _associate_onecam(
         return triangulate_pairs(spec, spec, intr, intr, Ta, T_WC_b, ua, ub, m)
 
     hp, valid, par = jax.vmap(tri_one)(T_WC_a, uv_a, uv_b_pair, pmask)
-    return assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b
+
+    # post-2D-2D free estimate (feeds the fused stereo matching)
+    idx2 = jnp.where(pmask, assign2, K).reshape(-1)
+    claimed2 = jnp.zeros((K,), bool).at[idx2].set(True, mode="drop")
+    free_b3 = free_b2 & ~claimed2
+    return assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b, free_b3
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "threshold"))
@@ -277,7 +282,7 @@ def associate_onecam(
         T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev,
         pts_prev, sigma_pos2, gate_radius,
     )
-    assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b = out
+    assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b, _f3 = out
     rr = ransac_absolute_rig(
         key, T_SC.r[None], T_SC.q[None], pts_b[None], bear_b[None],
         ransac_sel[None], intr[0][None], threshold_px2=ransac_threshold_px2,
@@ -310,6 +315,7 @@ def associate_multicam(
     gate_radius: jnp.ndarray,
     ransac_threshold_px2: jnp.ndarray,
     threshold: int = 60,
+    stereo_pairs: tuple = (),
 ):
     """ONE launch for a complete data-association round: 3D-2D chi²-gated
     matching, RIG-LEVEL absolute-pose RANSAC over all cameras' 3D-2D
@@ -324,9 +330,17 @@ def associate_multicam(
     whole round is a single XLA program. Requires a uniform camera model
     across the rig (vmapped over the camera axis).
 
+    When `stereo_pairs` names overlapping camera pairs, intra-frame stereo
+    matching + triangulation (matchStereo, Frontend.cpp:521-572) rides the
+    SAME launch, over the device-side post-association free estimates; the
+    host resolves those results after the (separate) last-frame round,
+    dropping any pair touching a keypoint claimed in between — the usual
+    drop-on-conflict policy.
+
     Returns (assign3 (P,C,K), assign2 (P,C,K), hp_W (P,C,K,4),
     tri_valid (P,C,K), tri_parallel (P,C,K),
-    ransac_inliers (C,K), ransac_num_inliers (), ransac_success ()).
+    ransac_inliers (C,K), ransac_num_inliers (), ransac_success (),
+    stereo (assign (S,K), hp (S,K,4), valid (S,K), parallel (S,K))).
     """
     from .ransac import ransac_absolute_rig
 
@@ -338,10 +352,11 @@ def associate_multicam(
             sigma_pos2, gate_radius,
         )
 
-    (assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b) = jax.vmap(
+    (assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b,
+     free_b3) = jax.vmap(
         per_cam,
         in_axes=(0, 1, 1, 1, 1, 1, 0, 1, 0, 0, 0, 0, 0, 0, 0),
-        out_axes=(1, 1, 1, 1, 1, 0, 0, 0),
+        out_axes=(1, 1, 1, 1, 1, 0, 0, 0, 0),
     )(
         intrinsics, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
         T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev,
@@ -350,8 +365,30 @@ def associate_multicam(
         key, T_SC.r, T_SC.q, pts_b, bear_b, ransac_sel,
         intrinsics[:, 0], threshold_px2=ransac_threshold_px2,
     )
+
+    stereo = []
+    for ca, cb in stereo_pairs:
+        s_out = stereo_match_triangulate(
+            spec, spec, intrinsics[ca], intrinsics[cb],
+            desc_b[ca], desc_b[cb], free_b3[ca], free_b3[cb],
+            uv_b[ca], uv_b[cb],
+            kin.SE3(r=T_WC_b.r[ca], q=T_WC_b.q[ca]),
+            kin.SE3(r=T_WC_b.r[cb], q=T_WC_b.q[cb]),
+            threshold=threshold,
+        )
+        stereo.append(s_out)
+    if stereo:
+        stereo_out = tuple(
+            jnp.stack([s[i] for s in stereo]) for i in range(4)
+        )
+    else:
+        K = free_b.shape[1]
+        stereo_out = (
+            jnp.full((0, K), -1, jnp.int32), jnp.zeros((0, K, 4)),
+            jnp.zeros((0, K), bool), jnp.zeros((0, K), bool),
+        )
     return (assign3, assign2, hp, valid, par,
-            rr.inliers, rr.num_inliers, rr.success)
+            rr.inliers, rr.num_inliers, rr.success, stereo_out)
 
 
 @functools.partial(jax.jit, static_argnames=("spec_a", "spec_b", "threshold"))

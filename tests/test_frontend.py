@@ -1003,3 +1003,106 @@ def test_rig_ransac_pools_cameras(rng):
     inl = np.asarray(res.inliers)
     assert not inl[1, bad], "pooled RANSAC missed the cam1 outlier"
     assert inl[0, :8].all() and inl[1, :5].sum() == 4
+
+
+def test_mixed_spec_rig_fallback_path(rng):
+    """A rig whose cameras use DIFFERENT distortion models must route the
+    association round through the per-camera fused fallback
+    (kernels.associate_onecam) and still produce correct 3D-2D matches."""
+    import jax.numpy as jnp
+
+    from okvis_tpu.cameras import NCameraSystem, pinhole as ph
+    from okvis_tpu.cameras.pinhole import CameraSpec
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig, simulate_trajectory
+    from okvis_tpu.estimator import Estimator
+    from okvis_tpu.frontend.detection import Keypoints
+    from okvis_tpu.frontend.frame import FrameData, MultiFrame
+    from okvis_tpu.frontend.frontend import Frontend, FrontendConfig
+    from okvis_tpu.frontend import kernels as k
+    from okvis_tpu.imu import ImuParams
+    from okvis_tpu.solver import WindowConfig
+
+    _, T_SC, _ = euroc_stereo_rig()
+    specs = (
+        CameraSpec(752, 480, "radtan"),
+        CameraSpec(752, 480, "none"),  # second camera: plain pinhole
+    )
+    intrinsics = [
+        jnp.asarray([461.4, 460.2, 363.0, 248.1, -0.28, 0.07, 2.0e-4, 1.8e-5]),
+        jnp.asarray([458.0, 457.0, 370.0, 250.0]),
+    ]
+    rig = NCameraSystem(specs=specs, T_SC=T_SC, intrinsics=intrinsics)
+    cfg = WindowConfig(
+        num_states=9, num_cameras=2, max_landmarks=64, max_observations=256,
+        imu_samples=32, max_imu_links=8, camera_specs=specs,
+    )
+    est = Estimator(rig, ImuParams.euroc(), cfg=cfg)
+    traj = simulate_trajectory(duration=1.0, seed=3, motion_scale=0.0)
+    sids = []
+    for fi in range(2):
+        idx = fi * 20
+        lo, hi = max(0, idx - 24), idx + 5
+        sids.append(est.add_states(
+            fi * 0.1, traj.ts[lo:hi], traj.gyro[lo:hi], traj.acc[lo:hi],
+            as_keyframe=True,
+        ))
+
+    # one landmark per camera, observed (>=2) from the source frame
+    K = 8
+    lm_of_cam, uv_of_cam = {}, {}
+    for c in range(2):
+        T_WC = kin.compose(est.get_T_WS(sids[1]), rig.camera_T_SC(c))
+        p_C = np.asarray([0.1 * (c + 1), 0.05, 4.0])
+        p_W = np.asarray(kin.transform_point(T_WC, jnp.asarray(p_C)))
+        uv, flag = ph.project(rig.specs[c], est.intrinsics[c], jnp.asarray(p_C))
+        assert int(flag) == 0
+        lm = 800 + c
+        est.add_landmark(lm, p_W)
+        est.add_observation(lm, sids[0], c, np.asarray(uv), keypoint_idx=0)
+        est.add_observation(lm, sids[0], 1 - c, np.asarray(uv), keypoint_idx=1)
+        lm_of_cam[c], uv_of_cam[c] = lm, np.asarray(uv)
+
+    fe = Frontend(rig, FrontendConfig(max_keypoints=K))
+    d = rng.integers(0, 2**32, (2, 16), dtype=np.uint32)
+
+    def make_frame(mf_id, with_ids):
+        frames = []
+        for c in range(2):
+            uv = np.zeros((K, 2))
+            mask = np.zeros(K, bool)
+            dsc = np.zeros((K, 16), np.uint32)
+            lids = np.zeros(K, np.int64)
+            uv[0], dsc[0], mask[0] = uv_of_cam[c], d[c], True
+            if with_ids:
+                lids[0] = lm_of_cam[c]
+            frames.append(FrameData(
+                keypoints=Keypoints(uv=jnp.asarray(uv), score=jnp.ones(K),
+                                    mask=jnp.asarray(mask)),
+                descriptors=jnp.asarray(dsc),
+                landmark_ids=lids,
+            ))
+        return MultiFrame(id=mf_id, timestamp=0.0, frames=frames)
+
+    src = make_frame(sids[0], with_ids=True)
+    cur = make_frame(sids[1], with_ids=False)
+    est.multiframes[sids[0]] = src
+    est.multiframes[sids[1]] = cur
+
+    calls = {"multi": 0}
+    orig_multi = k.associate_multicam
+
+    def spy_multi(*a, **kw):
+        calls["multi"] += 1
+        return orig_multi(*a, **kw)
+
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(k, "associate_multicam", spy_multi)
+    try:
+        n3d = fe._associate_batched(est, [src], cur, est.get_T_WS(sids[1]))
+    finally:
+        mp.undo()
+    assert calls["multi"] == 0, "mixed-spec rig must use the fallback"
+    assert n3d == 2, f"expected a 3D-2D match in each camera, got {n3d}"
+    assert int(cur.frames[0].landmark_ids[0]) == lm_of_cam[0]
+    assert int(cur.frames[1].landmark_ids[0]) == lm_of_cam[1]
