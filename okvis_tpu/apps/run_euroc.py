@@ -40,6 +40,8 @@ def run(
     pose_view: str = None,
     distributed_devices: int = 0,
     profile_dir: str = None,
+    checkpoint_out: str = None,
+    resume: str = None,
 ) -> dict:
     import os as _os
 
@@ -58,6 +60,10 @@ def run(
         params.optimization.distributed_devices = distributed_devices
     ds = EurocDataset(mav0_dir, num_cameras=len(params.cameras), skip_sec=skip_sec)
     vio = ThreadedVio(params, rig=rig, blocking=True, dtype=dtype)
+    if resume:
+        # long-sequence resume (SURVEY §5.4): restore the estimator window,
+        # marginal prior, keyframe keypoint tables, and session epoch
+        vio.load_checkpoint(resume)
 
     viewer = None
     if pose_view:
@@ -87,6 +93,8 @@ def run(
                     if n_frames >= frame_limit:
                         break
         vio.wait_idle(timeout=600)
+        if checkpoint_out:
+            vio.save_checkpoint(checkpoint_out)
     finally:
         if profile_dir:
             import jax
@@ -152,6 +160,13 @@ def main(argv=None):
                     help="shard the sliding-window BA over N devices")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler device trace to DIR")
+    ap.add_argument("--checkpoint-out", default=None, metavar="CKPT",
+                    help="save a resumable pipeline checkpoint at the end "
+                         "of the run (writes CKPT and CKPT.est)")
+    ap.add_argument("--resume", default=None, metavar="CKPT",
+                    help="resume from a checkpoint written by "
+                         "--checkpoint-out (combine with skip_sec to "
+                         "continue mid-sequence)")
     args = ap.parse_args(argv)
     out = run(
         args.config,
@@ -164,6 +179,8 @@ def main(argv=None):
         pose_view=args.pose_view,
         distributed_devices=args.distributed,
         profile_dir=args.profile,
+        checkpoint_out=args.checkpoint_out,
+        resume=args.resume,
     )
     timing = out.pop("timing")
     print(timing, file=sys.stderr)

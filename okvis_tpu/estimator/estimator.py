@@ -425,7 +425,15 @@ class Estimator:
     def _pad_imu(ts, gyro, acc, P):
         n = len(ts)
         if n > P:
-            raise ValueError(f"IMU window {n} exceeds capacity {P}")
+            # window longer than the static capacity (frame drops, resume
+            # gaps): keep the endpoints and subsample uniformly — the
+            # trapezoidal preintegration just integrates coarser samples.
+            # Raising here would turn a transient gap into a permanently
+            # growing one (the previous state never advances if addStates
+            # keeps failing).
+            idx = np.unique(np.round(np.linspace(0, n - 1, P)).astype(int))
+            ts, gyro, acc = ts[idx], gyro[idx], acc[idx]
+            n = len(ts)
         ts_p = np.full(P, ts[-1], dtype=np.float64)
         gy_p = np.tile(gyro[-1], (P, 1)).astype(np.float64)
         ac_p = np.tile(acc[-1], (P, 1)).astype(np.float64)
@@ -1110,7 +1118,10 @@ class Estimator:
 
     def save_checkpoint(self, path: str) -> None:
         """Serialize the full estimator state (window, landmarks, factor
-        tables, FEJ points, marginal prior) for resume."""
+        tables, FEJ points, marginal prior) for resume — plus the window's
+        multiframe keypoint tables (uv/score/mask/descriptors/landmark ids,
+        NOT images), so a resumed session can keep 3D-2D matching against
+        the checkpointed keyframes."""
         import pickle
 
         blob = {k: getattr(self, k) for k in self._CKPT_FIELDS}
@@ -1118,6 +1129,23 @@ class Estimator:
         blob["marg_H"] = np.asarray(blob["marg_H"])
         blob["marg_b0"] = np.asarray(blob["marg_b0"])
         blob["marg_c0"] = float(blob["marg_c0"])
+        mfs = {}
+        for mf_id, mf in self.multiframes.items():
+            mfs[mf_id] = dict(
+                timestamp=mf.timestamp,
+                frames=[
+                    dict(
+                        uv=np.asarray(f.keypoints.uv),
+                        score=np.asarray(f.keypoints.score),
+                        mask=np.asarray(f.keypoints.mask),
+                        descriptors=np.asarray(f.descriptors),
+                        landmark_ids=np.asarray(f.landmark_ids),
+                        sizes=None if f.sizes is None else np.asarray(f.sizes),
+                    )
+                    for f in mf.frames
+                ],
+            )
+        blob["multiframes"] = mfs
         with open(path, "wb") as f:
             pickle.dump(blob, f)
 
@@ -1126,8 +1154,38 @@ class Estimator:
         with the same config/rig."""
         import pickle
 
+        from ..frontend.detection import Keypoints
+        from ..frontend.frame import FrameData, MultiFrame
+
         with open(path, "rb") as f:
             blob = pickle.load(f)
+        mfs = blob.pop("multiframes", {})
         for k, v in blob.items():
             setattr(self, k, v)
         self.multiframes = {}
+        for mf_id, m in mfs.items():
+            frames = [
+                FrameData(
+                    keypoints=Keypoints(
+                        uv=jnp.asarray(fd["uv"]),
+                        score=jnp.asarray(fd["score"]),
+                        mask=jnp.asarray(fd["mask"]),
+                    ),
+                    descriptors=jnp.asarray(fd["descriptors"]),
+                    landmark_ids=np.asarray(fd["landmark_ids"]),
+                    sizes=fd["sizes"],
+                )
+                for fd in m["frames"]
+            ]
+            self.multiframes[mf_id] = MultiFrame(
+                id=mf_id, timestamp=m["timestamp"], frames=frames
+            )
+        # fresh ids must never collide with restored ones
+        from ..utils.ids import IdProvider
+
+        max_seen = 0
+        if self.states:
+            max_seen = max(max_seen, max(self.states.keys()))
+        if self.landmarks:
+            max_seen = max(max_seen, max(self.landmarks.keys()))
+        IdProvider.advance_past(max_seen)

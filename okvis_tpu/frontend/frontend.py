@@ -211,15 +211,13 @@ class Frontend:
                 sources.append(kf_mf)
 
         # uniform-model rigs carry the intra-frame stereo matching inside the
-        # keyframe-association launch; its results are resolved after the
-        # last-frame round (below)
-        uniform = len(set(self.rig.specs[: multiframe.num_cameras])) == 1
-        pairs = self._stereo_pairs(multiframe.num_cameras) if uniform else ()
+        # keyframe-association launch (stereo=True); its results are resolved
+        # after the last-frame round (below) via _pending_stereo
         self._pending_stereo = None
         num_3d2d = (
             self._associate_batched(
                 estimator, sources, multiframe, T_WS_prop, apply_ransac=True,
-                stereo_pairs=pairs,
+                stereo=True,
             )
             if sources
             else 0
@@ -305,7 +303,7 @@ class Frontend:
         frame_b: MultiFrame,
         T_WS_b: kin.SE3,
         apply_ransac: bool = False,
-        stereo_pairs: tuple = (),
+        stereo: bool = False,
     ) -> int:
         """3D-2D + 2D-2D association of all source frames against the current
         frame in ONE fused kernel launch for the whole rig (the batched form
@@ -381,7 +379,9 @@ class Frontend:
                 np.asarray(sizes)[:K] if sizes is not None else 8.0
             )
         # keypoints that already carry landmarks: RANSAC candidates too (the
-        # reference's noncentral adapter collects ALL current associations)
+        # reference's noncentral adapter collects all current associations
+        # whose landmark has ≥2 observations, FrameNoncentralAbsoluteAdapter
+        # .cpp:83-84 — single-observation depths are unconstrained)
         sel_prev = np.zeros((C, K), bool)
         pts_prev = np.zeros((C, K, 3))
         for c in range(C):
@@ -389,6 +389,8 @@ class Frontend:
             for i in np.nonzero(lids != 0)[0]:
                 lm_id = int(lids[i])
                 if not estimator.is_landmark_added(lm_id):
+                    continue
+                if obs_count.get(lm_id, 0) < 2:
                     continue
                 hp = estimator.hp_W[estimator.landmarks[lm_id].slot]
                 if abs(hp[3]) < 1e-8:
@@ -442,6 +444,9 @@ class Frontend:
             r=jnp.asarray(estimator.r_SC[:C]), q=jnp.asarray(estimator.q_SC[:C])
         )
         uniform = len(set(self.rig.specs[:C])) == 1
+        # intra-frame stereo rides the fused launch only on uniform rigs;
+        # mixed rigs fall back to the standalone _match_stereo launch
+        stereo_pairs = self._stereo_pairs(C) if (stereo and uniform) else ()
         if uniform:
             out = kernels.associate_multicam(
                 self.rig.specs[0],
@@ -695,33 +700,33 @@ class Frontend:
         keyframe-association launch carried the fused stereo phase (first
         frame, mixed-spec rigs)."""
         for ca, cb in self._stereo_pairs(multiframe.num_cameras):
-                fa, fb = multiframe.frames[ca], multiframe.frames[cb]
-                free_a = np.asarray(fa.keypoints.mask) & (fa.landmark_ids == 0)
-                free_b = np.asarray(fb.keypoints.mask) & (fb.landmark_ids == 0)
-                if not free_a.any() or not free_b.any():
-                    continue
-                T_WC_a = kin.compose(T_WS, estimator.get_extrinsics(ca))
-                T_WC_b = kin.compose(T_WS, estimator.get_extrinsics(cb))
-                assign, hp, valid, par = jax.device_get(
-                    kernels.stereo_match_triangulate(
-                        self.rig.specs[ca],
-                        self.rig.specs[cb],
-                        estimator.intrinsics[ca],
-                        estimator.intrinsics[cb],
-                        fa.descriptors,
-                        fb.descriptors,
-                        jnp.asarray(free_a),
-                        jnp.asarray(free_b),
-                        fa.keypoints.uv,
-                        fb.keypoints.uv,
-                        T_WC_a,
-                        T_WC_b,
-                        threshold=self.cfg.matching_threshold,
-                    )
+            fa, fb = multiframe.frames[ca], multiframe.frames[cb]
+            free_a = np.asarray(fa.keypoints.mask) & (fa.landmark_ids == 0)
+            free_b = np.asarray(fb.keypoints.mask) & (fb.landmark_ids == 0)
+            if not free_a.any() or not free_b.any():
+                continue
+            T_WC_a = kin.compose(T_WS, estimator.get_extrinsics(ca))
+            T_WC_b = kin.compose(T_WS, estimator.get_extrinsics(cb))
+            assign, hp, valid, par = jax.device_get(
+                kernels.stereo_match_triangulate(
+                    self.rig.specs[ca],
+                    self.rig.specs[cb],
+                    estimator.intrinsics[ca],
+                    estimator.intrinsics[cb],
+                    fa.descriptors,
+                    fb.descriptors,
+                    jnp.asarray(free_a),
+                    jnp.asarray(free_b),
+                    fa.keypoints.uv,
+                    fb.keypoints.uv,
+                    T_WC_a,
+                    T_WC_b,
+                    threshold=self.cfg.matching_threshold,
                 )
-                self._resolve_stereo_pair(
-                    estimator, multiframe, ca, cb, assign, hp, valid, par
-                )
+            )
+            self._resolve_stereo_pair(
+                estimator, multiframe, ca, cb, assign, hp, valid, par
+            )
 
     def _resolve_stereo_pair(
         self, estimator, multiframe, ca, cb, assign, hp_arr, valid, par

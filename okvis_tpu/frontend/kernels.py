@@ -259,8 +259,11 @@ def _associate_onecam(
 
     hp, valid, par = jax.vmap(tri_one)(T_WC_a, uv_a, uv_b_pair, pmask)
 
-    # post-2D-2D free estimate (feeds the fused stereo matching)
-    idx2 = jnp.where(pmask, assign2, K).reshape(-1)
+    # post-2D-2D free estimate (feeds the fused stereo matching): only
+    # VALID triangulations claim their keypoint — a chi²-rejected match
+    # creates no landmark on the host, so the keypoint stays available for
+    # the wide-baseline stereo phase (matches the sequential-path behavior)
+    idx2 = jnp.where(pmask & valid, assign2, K).reshape(-1)
     claimed2 = jnp.zeros((K,), bool).at[idx2].set(True, mode="drop")
     free_b3 = free_b2 & ~claimed2
     return assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b, free_b3
@@ -291,7 +294,7 @@ def associate_onecam(
             rr.inliers[0], rr.num_inliers, rr.success)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "threshold"))
+@functools.partial(jax.jit, static_argnames=("spec", "threshold", "stereo_pairs"))
 def associate_multicam(
     spec: CameraSpec,
     key,  # PRNG key for the folded rig-level RANSAC

@@ -456,8 +456,11 @@ class ThreadedVio:
                         as_keyframe=False,
                         frame_id=mf.id,
                     )
-                except RuntimeError:
+                except (RuntimeError, ValueError):
                     # "Failed to add state! will drop multiframe."
+                    # (ThreadedKFVio.cpp:512 — any failure sheds the frame;
+                    # an escaping exception would kill the processing thread
+                    # and deadlock the backpressured feeder)
                     self._frames_processed += 1
                     continue
             est.multiframes[mf.id] = mf
@@ -670,6 +673,55 @@ class ThreadedVio:
                     f"{ts_ns}, {int(fr.landmark_ids[k])}, {uv[k,0]:.4f}, "
                     f"{uv[k,1]:.4f}, {stdev:.3f}, {dhex}\n"
                 )
+
+    # ------------------------------------------------------------------
+    # pipeline checkpoint / resume (SURVEY §5.4 — absent in the reference):
+    # estimator window + marginal prior + keyframe keypoint tables, session
+    # epoch, initialization flag, and the last optimized state — enough to
+    # resume a long sequence in a fresh process (CLI --checkpoint-out /
+    # --resume).
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        import pickle
+
+        self.wait_idle()
+        self.estimator.save_checkpoint(path + ".est")
+        lo = self._last_optimized
+        blob = dict(
+            epoch_ns=self._epoch_ns,
+            last_added_ns=self._last_added_ns,
+            is_initialized=self.frontend.is_initialized,
+            last_optimized=None if lo is None else dict(
+                timestamp_ns=lo.timestamp_ns,
+                r=np.asarray(lo.T_WS.r),
+                q=np.asarray(lo.T_WS.q),
+                sb=np.asarray(lo.speed_and_bias),
+                is_keyframe=lo.is_keyframe,
+            ),
+        )
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore into a freshly constructed ThreadedVio (same config/rig)
+        BEFORE feeding measurements."""
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.estimator.load_checkpoint(path + ".est")
+        self._epoch_ns = blob["epoch_ns"]
+        self._last_added_ns = blob["last_added_ns"]
+        self.frontend.is_initialized = blob["is_initialized"]
+        lo = blob["last_optimized"]
+        if lo is not None:
+            self._last_optimized = StateEstimate(
+                timestamp_ns=lo["timestamp_ns"],
+                T_WS=kin.SE3(r=jnp.asarray(lo["r"]), q=jnp.asarray(lo["q"])),
+                speed_and_bias=lo["sb"],
+                is_keyframe=lo["is_keyframe"],
+            )
+            self._reprop_needed = True
 
     def wait_idle(self, timeout: float = 60.0) -> None:
         """Block until every fed measurement has fully traversed the pipeline

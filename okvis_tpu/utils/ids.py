@@ -20,3 +20,11 @@ class IdProvider:
     def reset(cls) -> None:
         with cls._lock:
             cls._counter = itertools.count(1)
+
+    @classmethod
+    def advance_past(cls, max_seen: int) -> None:
+        """Ensure future ids exceed `max_seen` (checkpoint resume: restored
+        state/landmark ids must never collide with fresh ones)."""
+        with cls._lock:
+            nxt = next(cls._counter)
+            cls._counter = itertools.count(max(nxt, max_seen + 1))

@@ -100,3 +100,46 @@ def test_euroc_sweep(synthetic_euroc, tmp_path):
     assert mh["ate_rmse_m"] is None or mh["ate_rmse_m"] < 1.0
     assert os.path.exists(mh["trajectory"])
     assert summary["sequences"]["V1_01_easy"]["status"] == "missing"
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_cli(synthetic_euroc, tmp_path):
+    """Pipeline checkpoint/resume (SURVEY §5.4, new vs reference): run the
+    first half of the sequence with --checkpoint-out, resume a FRESH
+    pipeline from the checkpoint for the second half, and keep tracking —
+    the resumed session must re-associate against the checkpointed
+    keyframes' keypoint tables, not re-initialize."""
+    import jax.numpy as jnp
+
+    from okvis_tpu.apps.run_euroc import run
+
+    mav0, traj, rig = synthetic_euroc
+    ckpt = str(tmp_path / "half.ckpt")
+    out1 = run(
+        "/root/reference/config/config_fpga_p2_euroc.yaml",
+        mav0,
+        dtype=jnp.float64,
+        trajectory_out=str(tmp_path / "t1.tum"),
+        rig=rig,
+        detection_threshold=15.0,
+        max_keypoints=200,
+        max_frames=5,
+        checkpoint_out=ckpt,
+    )
+    assert out1["frames_processed"] >= 3
+    assert os.path.exists(ckpt) and os.path.exists(ckpt + ".est")
+
+    out2 = run(
+        "/root/reference/config/config_fpga_p2_euroc.yaml",
+        mav0,
+        0.5,  # skip the first half: continue where the checkpoint stopped
+        dtype=jnp.float64,
+        trajectory_out=str(tmp_path / "t2.tum"),
+        rig=rig,
+        detection_threshold=15.0,
+        max_keypoints=200,
+        resume=ckpt,
+    )
+    assert out2["frames_processed"] >= 4, out2
+    assert out2["ate_rmse_m"] is not None
+    assert out2["ate_rmse_m"] < 0.2, out2
