@@ -430,7 +430,15 @@ class Estimator:
             # trapezoidal preintegration just integrates coarser samples.
             # Raising here would turn a transient gap into a permanently
             # growing one (the previous state never advances if addStates
-            # keeps failing).
+            # keeps failing). Warn so a misconfigured imu_samples capacity
+            # (silent accuracy loss) stays visible (ADVICE r1).
+            import logging
+
+            logging.getLogger("okvis_tpu").warning(
+                "IMU window (%d samples) exceeds capacity %d; subsampling "
+                "- preintegration loses high-frequency content. Raise "
+                "imu_samples if this is not a transient gap.", n, P,
+            )
             idx = np.unique(np.round(np.linspace(0, n - 1, P)).astype(int))
             ts, gyro, acc = ts[idx], gyro[idx], acc[idx]
             n = len(ts)
@@ -1188,4 +1196,12 @@ class Estimator:
             max_seen = max(max_seen, max(self.states.keys()))
         if self.landmarks:
             max_seen = max(max_seen, max(self.landmarks.keys()))
+        # restored frame tables can hold stale ids of landmarks removed via
+        # _remove_landmark (which never clears frame tables); a fresh
+        # landmark must never reuse such an id or the stale entry would
+        # silently create a false association after resume (ADVICE r1)
+        for mf in self.multiframes.values():
+            for fd in mf.frames:
+                if fd.landmark_ids.size:
+                    max_seen = max(max_seen, int(np.max(fd.landmark_ids)))
         IdProvider.advance_past(max_seen)

@@ -214,9 +214,13 @@ class Frontend:
         # keyframe-association launch (stereo=True); its results are resolved
         # after the last-frame round (below) via _pending_stereo
         self._pending_stereo = None
+        # RANSAC outlier removal is gated on isInitialized_ for the keyframe
+        # round (ref Frontend.cpp:434-436) — bootstrap-phase stereo
+        # associations must not be stripped before initialization
         num_3d2d = (
             self._associate_batched(
-                estimator, sources, multiframe, T_WS_prop, apply_ransac=True,
+                estimator, sources, multiframe, T_WS_prop,
+                apply_ransac=self.is_initialized,
                 stereo=True,
             )
             if sources
@@ -340,6 +344,11 @@ class Frontend:
         sel_a = np.zeros((P, C, K), bool)
         hp_rows = np.tile(np.asarray([0.0, 0, 0, 1.0]), (P, C, K, 1))
         free2_a = np.zeros((P, C, K), bool)
+        # snapshot of the landmark id each 3D-2D source row carries at launch
+        # time — host conflict resolution can rebind keypoints, and the
+        # folded RANSAC's inlier verdicts only apply to the landmark the
+        # device actually scored (see outlier removal below)
+        lm_a_ids = np.zeros((P, C, K), np.int64)
         for p, src in enumerate(sources):
             for c in range(C):
                 fa = src.frames[c]
@@ -359,6 +368,7 @@ class Frontend:
                     if lm.initialized:
                         sel_a[p, c, i] = True
                         hp_rows[p, c, i] = estimator.hp_W[lm.slot]
+                        lm_a_ids[p, c, i] = lm_id
                     else:
                         free2_a[p, c, i] = True
                 free2_a[p, c] |= m_a & (fa.landmark_ids == 0)
@@ -384,6 +394,9 @@ class Frontend:
         # .cpp:83-84 — single-observation depths are unconstrained)
         sel_prev = np.zeros((C, K), bool)
         pts_prev = np.zeros((C, K, 3))
+        lids0 = np.stack(
+            [frame_b.frames[c].landmark_ids.copy() for c in range(C)]
+        )  # pre-round bindings (device RANSAC scored these where sel_prev)
         for c in range(C):
             lids = frame_b.frames[c].landmark_ids
             for i in np.nonzero(lids != 0)[0]:
@@ -520,6 +533,19 @@ class Frontend:
             rs_inliers = np.stack([f[5] for f in fetched])
             # per-camera pools: each camera applies under its own count
             rs_num = np.asarray([int(f[6]) for f in fetched])
+
+        # ---------- device-scored landmark per target keypoint ----------
+        # The folded RANSAC scored, for every current keypoint, either its
+        # pre-existing landmark (sel_prev) or the NEWEST source's candidate
+        # landmark (device scatter order). Host conflict resolution below may
+        # bind a DIFFERENT landmark; inlier/outlier verdicts only transfer
+        # when the binding matches what the device scored.
+        dev_lm = np.zeros((C, K), np.int64)
+        for p in range(P - 1, -1, -1):  # oldest first; newest overwrites
+            for c in range(C):
+                hit = assign3_all[p, c] >= 0
+                dev_lm[c, assign3_all[p, c][hit]] = lm_a_ids[p, c][hit]
+        dev_lm = np.where(sel_prev, lids0, dev_lm)
 
         # ---------- host resolution, camera by camera ----------
         for cam in range(C):
@@ -670,6 +696,11 @@ class Frontend:
                     lm_id = int(fb.landmark_ids[ib])
                     if lm_id == 0:
                         continue  # host never resolved this candidate
+                    if lm_id != int(dev_lm[cam, ib]):
+                        # host resolution bound a different landmark than the
+                        # one the device RANSAC scored — the outlier verdict
+                        # does not apply; keep the association (ADVICE r1)
+                        continue
                     if estimator.is_landmark_added(lm_id):
                         estimator.remove_observation(
                             lm_id, frame_b.id, cam, ib
