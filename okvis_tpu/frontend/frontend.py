@@ -66,6 +66,10 @@ class Frontend:
         self.is_initialized = False
         self._rng_key = jax.random.PRNGKey(7)
         self._pending_stereo = None  # fused stereo results awaiting resolution
+        # frames where the absolute-pose RANSAC found <10 inliers despite
+        # >=10 candidates, so outlier removal was skipped (surfaced so a
+        # degenerate-RANSAC-heavy sequence is visible; VERDICT r1)
+        self.ransac_degenerate_frames = 0
 
     def _next_key(self):
         self._rng_key, k = jax.random.split(self._rng_key)
@@ -533,6 +537,28 @@ class Frontend:
             rs_inliers = np.stack([f[5] for f in fetched])
             # per-camera pools: each camera applies under its own count
             rs_num = np.asarray([int(f[6]) for f in fetched])
+
+        # ---------- RANSAC degeneracy counter ----------
+        # candidates the device RANSAC saw = this round's claims + keypoints
+        # already carrying >=2-obs landmarks (ransac_sel device-side)
+        if apply_ransac:
+            n_cand = int(np.count_nonzero(sel_prev))
+            claimed_dev = np.zeros((C, K), bool)
+            for p in range(P):
+                for c in range(C):
+                    hit = assign3_all[p, c] >= 0
+                    claimed_dev[c, assign3_all[p, c][hit]] = True
+            n_cand += int(np.count_nonzero(claimed_dev & ~sel_prev))
+            if n_cand >= 10 and int(np.max(rs_num)) < 10:
+                self.ransac_degenerate_frames += 1
+                import logging
+
+                logging.getLogger("okvis_tpu").warning(
+                    "absolute-pose RANSAC found <10 inliers from %d "
+                    "candidates on frame %d; outlier removal skipped "
+                    "(%d such frames so far)",
+                    n_cand, frame_b.id, self.ransac_degenerate_frames,
+                )
 
         # ---------- device-scored landmark per target keypoint ----------
         # The folded RANSAC scored, for every current keypoint, either its

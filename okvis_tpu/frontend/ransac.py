@@ -10,11 +10,11 @@ then an argmax. Minimal solvers are chosen for batchability:
 
 - rotation-only: 2-point Wahba (quaternion from accumulator matrix eigenvector)
 - relative pose: 8-point essential matrix (batched SVD) scored by Sampson error
-- absolute pose: 6-point DLT (batched SVD) with orthogonalized rotation.
-  CAVEAT: the DLT is degenerate on exactly coplanar scenes (a wall-filling
-  view) — there it returns success=False and the caller skips outlier
-  removal for that frame (graceful degradation; the reference's GP3P
-  handles planar configurations).
+- absolute pose: 3-point Kneip P3P (closed-form quartic, Ferrari solve in
+  complex arithmetic — pure elementwise math, ideal for hypothesis-parallel
+  batching). P3P handles coplanar landmark sets, matching the robustness of
+  the reference's OpenGV GP3P (Frontend.cpp:599-642); the earlier 6-point
+  DLT (kept as `_dlt_absolute_models` for study) is degenerate there.
 
 Error thresholds follow the reference's focal-scaled convention: the SAC
 problems scale reprojection errors by (0.8/focal)⁻²
@@ -168,7 +168,196 @@ def ransac_relative_pose(
 
 
 # ---------------------------------------------------------------------------
-# absolute pose: 6-point DLT (replaces OpenGV GP3P)
+# absolute pose: Kneip P3P (replaces OpenGV GP3P; planar-robust)
+# ---------------------------------------------------------------------------
+
+
+def _solve_quartic(a4, a3, a2, a1, a0):
+    """Closed-form (Ferrari) roots of a4·x⁴ + a3·x³ + a2·x² + a1·x + a0.
+
+    Branch-free elementwise complex arithmetic — batches over any leading
+    dims and runs on TPU (general `eig` of a companion matrix is CPU-only in
+    XLA). Returns (..., 4) complex roots; callers take real parts and let
+    downstream scoring reject spurious ones (complex-pair roots yield poses
+    that lose the inlier vote, exactly like OpenGV's behavior of keeping all
+    quartic roots)."""
+    ctype = jnp.complex128 if a4.dtype == jnp.float64 else jnp.complex64
+    a4s = jnp.where(jnp.abs(a4) < 1e-12, 1e-12, a4)
+    b = (a3 / a4s).astype(ctype)
+    c = (a2 / a4s).astype(ctype)
+    d = (a1 / a4s).astype(ctype)
+    e = (a0 / a4s).astype(ctype)
+    # depressed quartic y⁴ + p y² + q y + r with x = y − b/4
+    p = c - 3.0 * b * b / 8.0
+    q = d - b * c / 2.0 + b * b * b / 8.0
+    r = e - b * d / 4.0 + b * b * c / 16.0 - 3.0 * b**4 / 256.0
+    # resolvent cubic m³ + p m² + (p²/4 − r) m − q²/8 = 0 (perfect-square
+    # condition of Ferrari's decomposition)
+    c2 = p
+    c1 = p * p / 4.0 - r
+    c0 = -q * q / 8.0
+    # Cardano
+    d0 = c2 * c2 - 3.0 * c1
+    d1 = 2.0 * c2**3 - 9.0 * c2 * c1 + 27.0 * c0
+    s = jnp.sqrt(d1 * d1 - 4.0 * d0**3)
+    u = (d1 + s) / 2.0
+    u = jnp.where(jnp.abs(u) < 1e-30, (d1 - s) / 2.0, u)
+    C = jnp.exp(jnp.log(u + (u == 0)) / 3.0)  # principal cube root
+    C = jnp.where(jnp.abs(C) < 1e-30, 1e-30, C)
+    m = -(c2 + C + d0 / C) / 3.0
+    # avoid the m→0 singularity of the split (biquadratic case)
+    m = jnp.where(jnp.abs(m) < 1e-12, m + 1e-12, m)
+    sq = jnp.sqrt(2.0 * m)
+    # (y² + p/2 + m)² = 2m (y − q/(4m))²  →  two quadratics
+    t1 = p / 2.0 + m + q / (2.0 * sq)
+    t2 = p / 2.0 + m - q / (2.0 * sq)
+    r1 = jnp.sqrt(sq * sq - 4.0 * t1)
+    r2 = jnp.sqrt(sq * sq - 4.0 * t2)
+    ys = jnp.stack(
+        [(sq + r1) / 2.0, (sq - r1) / 2.0, (-sq + r2) / 2.0, (-sq - r2) / 2.0],
+        axis=-1,
+    )
+    return ys - (b / 4.0)[..., None]
+
+
+def _p3p_kneip(P, f):
+    """Kneip closed-form P3P (ETH 'A Novel Parametrization of the
+    Perspective-Three-Point Problem', ICRA 2011 — the solver OpenGV's GP3P
+    path builds on; ref use at okvis_frontend/src/Frontend.cpp:599-642).
+
+    P: (3, 3) world points, f: (3, 3) unit bearings in camera frame.
+    Returns (4, 3, 4) camera-to-world candidates [R_WC | C] with
+    X_W = R·X_C + C — up to 4 real solutions; spurious (complex-root) ones
+    come out non-finite or score poorly."""
+    dtype = P.dtype
+
+    def frames(f1, f2, f3, P1, P2, P3):
+        e1 = f1
+        e3 = jnp.cross(f1, f2)
+        e3 = e3 / jnp.maximum(jnp.linalg.norm(e3), 1e-12)
+        e2 = jnp.cross(e3, e1)
+        T = jnp.stack([e1, e2, e3])  # rows
+        f3t = T @ f3
+        return T, f3t
+
+    T0, f3t0 = frames(f[0], f[1], f[2], P[0], P[1], P[2])
+    # θ must lie in (0, π): swap the first two correspondences when the
+    # transformed third bearing has positive z (Kneip §III)
+    swap = f3t0[2] > 0
+    f1 = jnp.where(swap, f[1], f[0])
+    f2 = jnp.where(swap, f[0], f[1])
+    P1 = jnp.where(swap, P[1], P[0])
+    P2 = jnp.where(swap, P[0], P[1])
+    T, f3t = frames(f1, f2, f[2], P1, P2, P[2])
+
+    n1 = P2 - P1
+    d12 = jnp.linalg.norm(n1)
+    n1 = n1 / jnp.maximum(d12, 1e-12)
+    n3 = jnp.cross(n1, P[2] - P1)
+    n3 = n3 / jnp.maximum(jnp.linalg.norm(n3), 1e-12)
+    n2 = jnp.cross(n3, n1)
+    N = jnp.stack([n1, n2, n3])  # rows
+    P3n = N @ (P[2] - P1)
+    p1, p2 = P3n[0], P3n[1]
+
+    cos_beta = jnp.dot(f1, f2)
+    bb = 1.0 / jnp.maximum(1.0 - cos_beta * cos_beta, 1e-12) - 1.0
+    b_cot = jnp.sign(cos_beta) * jnp.sqrt(jnp.maximum(bb, 0.0))
+
+    f3z = jnp.where(jnp.abs(f3t[2]) < 1e-12, 1e-12, f3t[2])
+    phi1 = f3t[0] / f3z
+    phi2 = f3t[1] / f3z
+
+    # quartic in cos θ (Kneip eq. 11)
+    g1, g2 = phi1, phi2
+    a4 = -(g2 * g2) * p2**4 - g1 * g1 * p2**4 - p2**4
+    a3 = (
+        2.0 * p2**3 * d12 * b_cot
+        + 2.0 * g2 * g2 * p2**3 * d12 * b_cot
+        - 2.0 * g1 * g2 * p2**3 * d12
+    )
+    a2 = (
+        -(g2 * g2) * p1 * p1 * p2 * p2
+        - g2 * g2 * p2 * p2 * d12 * d12 * b_cot * b_cot
+        - g2 * g2 * p2 * p2 * d12 * d12
+        + g2 * g2 * p2**4
+        + g1 * g1 * p2**4
+        + 2.0 * p1 * p2 * p2 * d12
+        + 2.0 * g1 * g2 * p1 * p2 * p2 * d12 * b_cot
+        - g1 * g1 * p1 * p1 * p2 * p2
+        + 2.0 * g2 * g2 * p1 * p2 * p2 * d12
+        - p2 * p2 * d12 * d12 * b_cot * b_cot
+        - 2.0 * p1 * p1 * p2 * p2
+    )
+    a1 = (
+        2.0 * p1 * p1 * p2 * d12 * b_cot
+        + 2.0 * g1 * g2 * p2**3 * d12
+        - 2.0 * g2 * g2 * p2**3 * d12 * b_cot
+        - 2.0 * p1 * p2 * d12 * d12 * b_cot
+    )
+    a0 = (
+        -2.0 * g1 * g2 * p1 * p2 * p2 * d12 * b_cot
+        + g2 * g2 * p2 * p2 * d12 * d12
+        + 2.0 * p1**3 * d12
+        - p1 * p1 * d12 * d12
+        + g2 * g2 * p1 * p1 * p2 * p2
+        - p1**4
+        - 2.0 * g2 * g2 * p1 * p2 * p2 * d12
+        + g1 * g1 * p1 * p1 * p2 * p2
+        + g2 * g2 * p2 * p2 * d12 * d12 * b_cot * b_cot
+    )
+    roots = _solve_quartic(a4, a3, a2, a1, a0)  # (4,) complex
+    cos_t = jnp.clip(jnp.real(roots), -1.0, 1.0).astype(dtype)  # (4,)
+
+    def backsub(ct):
+        cot_a = (g1 / g2 * p1 + ct * p2 - d12 * b_cot) / (
+            g1 / g2 * ct * p2 - p1 + d12
+        )
+        st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+        sin_a = jnp.sqrt(1.0 / (cot_a * cot_a + 1.0))
+        cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+        cos_a = jnp.where(cot_a < 0, -cos_a, cos_a)
+        amp = sin_a * b_cot + cos_a
+        C_eta = jnp.stack(
+            [d12 * cos_a * amp, d12 * sin_a * ct * amp, d12 * sin_a * st * amp]
+        )
+        C = P1 + N.T @ C_eta
+        Q = jnp.asarray(
+            [
+                [-cos_a, -sin_a * ct, -sin_a * st],
+                [sin_a, -cos_a * ct, -cos_a * st],
+                [0.0, -st, ct],
+            ],
+            dtype,
+        )
+        R_WC = N.T @ Q.T @ T
+        return jnp.concatenate([R_WC, C[:, None]], axis=1)  # (3, 4)
+
+    return jax.vmap(backsub)(cos_t)  # (4, 3, 4)
+
+
+def _p3p_absolute_models(key, points_W, bearings, mask, n_hyp: int):
+    """(n_hyp·4, 3, 4) central absolute-pose models [R_CW | t_C] from
+    3-point Kneip samples drawn from the masked correspondences. Planar
+    scenes are fine (P3P has no coplanarity degeneracy)."""
+    N = points_W.shape[0]
+    n_valid = jnp.maximum(jnp.sum(mask), 1)
+    idx = _sample_indices(key, n_hyp, 3, n_valid, N)
+    valid_idx = jnp.nonzero(mask, size=N, fill_value=0)[0]
+    idx = valid_idx[idx]
+
+    def solve(sample):
+        cands = _p3p_kneip(points_W[sample], bearings[sample])  # (4,3,4)
+        # convert camera-to-world [R_WC | C] -> world-to-camera [R_CW | t]
+        R_CW = jnp.swapaxes(cands[:, :, :3], 1, 2)
+        t = -jnp.einsum("hij,hj->hi", R_CW, cands[:, :, 3])
+        return jnp.concatenate([R_CW, t[..., None]], axis=2)
+
+    return jax.vmap(solve)(idx).reshape(-1, 3, 4)  # (n_hyp·4, 3, 4)
+
+
+# ---------------------------------------------------------------------------
+# absolute pose: 6-point DLT (kept for study/fallback; coplanar-degenerate)
 # ---------------------------------------------------------------------------
 
 
@@ -218,20 +407,22 @@ def ransac_absolute_pose(
     """Camera-pose RANSAC from 3D-2D matches
     (ref runRansac3d2d, Frontend.cpp:575-642: 50 iterations, threshold 9).
 
-    Model: flattened [R_CW | t_C] (3,4); x_C ∝ R_CW p_W + t.
+    Hypotheses from 3-point Kneip P3P (planar-robust, like the reference's
+    GP3P). Model: flattened [R_CW | t_C] (3,4); x_C ∝ R_CW p_W + t.
     """
     uv = bearings_C[:, :2] / jnp.maximum(bearings_C[:, 2:3], 1e-6)  # (N,2)
-    Ms = _dlt_absolute_models(key, points_W, uv, mask, n_hyp)
+    Ms = _p3p_absolute_models(key, points_W, bearings_C, mask, n_hyp)
+    finite = jnp.all(jnp.isfinite(Ms.reshape(Ms.shape[0], -1)), axis=-1)
     p_C = jnp.einsum("hij,nj->hni", Ms[:, :, :3], points_W) + Ms[:, None, :, 3]
     z = p_C[..., 2]
     proj = p_C[..., :2] / jnp.maximum(jnp.abs(z[..., None]), 1e-6)
     err_px2 = jnp.sum((proj - uv[None]) ** 2, axis=-1) * focal * focal
     inl = (err_px2 < threshold_px2) & (z > 0) & mask[None, :]
-    counts = jnp.sum(inl, axis=1)
+    counts = jnp.where(finite, jnp.sum(inl, axis=1), -1)
     best = jnp.argmax(counts)
     return RansacResult(
         inliers=inl[best],
-        num_inliers=counts[best],
+        num_inliers=jnp.maximum(counts[best], 0),
         model=Ms[best].ravel(),
         success=counts[best] >= 6,
     )
@@ -251,10 +442,11 @@ def ransac_absolute_rig(
 ) -> RansacResult:
     """Rig-level absolute-pose RANSAC pooling ALL cameras' correspondences
     (ref FrameNoncentralAbsoluteAdapter + GP3P runRansac3d2d,
-    Frontend.cpp:575-642): hypotheses come from per-camera central 6-pt DLT
-    solves mapped through the known extrinsics to a body pose T_SW, and
-    every hypothesis is scored against every camera's correspondences.
-    Cameras with <6 candidates contribute no hypotheses but still vote.
+    Frontend.cpp:575-642): hypotheses come from per-camera central 3-pt
+    Kneip P3P solves (planar-robust, matching the reference's GP3P) mapped
+    through the known extrinsics to a body pose T_SW, and every hypothesis
+    is scored against every camera's correspondences. Cameras with <3
+    candidates contribute no hypotheses but still vote.
 
     Model: flattened [R_SW | t_SW] (3,4); p_S = R_SW p_W + t_SW.
     Returns inliers with shape (C, K).
@@ -266,19 +458,20 @@ def ransac_absolute_rig(
     C_SC = jax.vmap(quat_to_matrix)(q_SC)  # (C, 3, 3)
     uv = bearings_C[..., :2] / jnp.maximum(bearings_C[..., 2:3], 1e-6)
 
-    def models_of_cam(c_key, pts_c, uv_c, m_c, C_sc, r_sc):
-        Ms = _dlt_absolute_models(c_key, pts_c, uv_c, m_c, n_hyp_per_cam)
+    def models_of_cam(c_key, pts_c, bear_c, m_c, C_sc, r_sc):
+        Ms = _p3p_absolute_models(c_key, pts_c, bear_c, m_c, n_hyp_per_cam)
         # T_SW = T_SC ∘ T_CW:  R_SW = C_SC·R_CW,  t_SW = C_SC·t_C + r_SC
         R_SW = jnp.einsum("ab,hbj->haj", C_sc, Ms[:, :, :3])
         t_SW = jnp.einsum("ab,hb->ha", C_sc, Ms[:, :, 3]) + r_sc
-        valid = jnp.sum(m_c) >= 6
+        valid = jnp.sum(m_c) >= 3
         return jnp.concatenate([R_SW, t_SW[..., None]], axis=-1), valid
 
     Ms_c, valid_c = jax.vmap(models_of_cam)(
-        keys, points_W, uv, mask, C_SC, r_SC
-    )  # (C, H, 3, 4), (C,)
-    M = Ms_c.reshape(-1, 3, 4)  # (C·H, 3, 4)
-    hyp_valid = jnp.repeat(valid_c, n_hyp_per_cam)  # (C·H,)
+        keys, points_W, bearings_C, mask, C_SC, r_SC
+    )  # (C, H·4, 3, 4), (C,)
+    M = Ms_c.reshape(-1, 3, 4)  # (C·H·4, 3, 4)
+    hyp_valid = jnp.repeat(valid_c, n_hyp_per_cam * 4)  # (C·H·4,)
+    hyp_valid &= jnp.all(jnp.isfinite(M.reshape(M.shape[0], -1)), axis=-1)
 
     # score every hypothesis against every camera's correspondences
     p_S = (

@@ -1005,6 +1005,80 @@ def test_rig_ransac_pools_cameras(rng):
     assert inl[0, :8].all() and inl[1, :5].sum() == 4
 
 
+def test_ransac_absolute_pose_planar_scene(rng):
+    """All landmarks on ONE plane (a wall-filling view): the Kneip P3P
+    hypothesis generator has no coplanarity degeneracy, so outlier
+    rejection still fires — matching the reference's GP3P robustness
+    (Frontend.cpp:599-642; the earlier 6-pt DLT was degenerate here)."""
+    n = 120
+    # strictly coplanar: z = 5 exactly
+    pts_W = np.concatenate(
+        [rng.uniform(-3, 3, (n, 2)), np.full((n, 1), 5.0)], axis=1
+    )
+    q = kin.quat_normalize(jnp.asarray([0.05, 0.1, -0.05, 1.0]))
+    t = jnp.asarray([0.3, -0.2, 0.5])
+    p_C = np.array(kin.quat_rotate(q[None], jnp.asarray(pts_W))) + np.asarray(t)
+    bear = p_C / np.linalg.norm(p_C, axis=1, keepdims=True)
+    out_idx = rng.choice(n, 30, replace=False)
+    bear[out_idx] = np.abs(rng.normal(size=(30, 3)))
+    bear /= np.linalg.norm(bear, axis=1, keepdims=True)
+    res = ransac_absolute_pose(
+        jax.random.PRNGKey(5), jnp.asarray(pts_W), jnp.asarray(bear),
+        jnp.ones(n, bool),
+    )
+    assert bool(res.success)
+    inl = np.asarray(res.inliers)
+    true_inl = np.ones(n, bool)
+    true_inl[out_idx] = False
+    assert int(res.num_inliers) >= 85
+    assert (~inl[out_idx]).sum() >= 28, "planar scene: outliers kept"
+    M = np.asarray(res.model).reshape(3, 4)
+    np.testing.assert_allclose(M[:, :3], np.asarray(kin.quat_to_matrix(q)), atol=1e-3)
+    np.testing.assert_allclose(M[:, 3], np.asarray(t), atol=5e-3)
+
+
+def test_rig_ransac_planar_scene(rng):
+    """Rig-level pooled RANSAC on an exactly coplanar landmark set — the
+    planar wall case that silently lost outlier rejection with the DLT."""
+    from okvis_tpu.frontend.ransac import ransac_absolute_rig
+    from okvis_tpu.datasets.synthetic import euroc_stereo_rig
+
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    C, K = 2, 64
+    r_SC = np.asarray(T_SC.r)
+    q_SC = np.asarray(T_SC.q)
+    pts = np.zeros((C, K, 3))
+    bear = np.zeros((C, K, 3))
+    sel = np.zeros((C, K), bool)
+    n_per = 40
+    for c in range(C):
+        # wall at z=4 in each camera frame, mapped to world via extrinsics
+        for i in range(n_per):
+            p_C = np.asarray([
+                ((i % 8) - 3.5) * 0.4, ((i // 8) - 2.0) * 0.35, 4.0,
+            ])
+            T = kin.SE3(r=jnp.asarray(r_SC[c]), q=jnp.asarray(q_SC[c]))
+            pts[c, i] = np.asarray(kin.transform_point(T, jnp.asarray(p_C)))
+            bear[c, i] = p_C / np.linalg.norm(p_C)
+            sel[c, i] = True
+    bad = 7
+    v = bear[1, bad]
+    perp = np.cross(v, [0.0, 0.0, 1.0])
+    perp /= np.linalg.norm(perp)
+    bear[1, bad] = v * np.cos(0.02) + perp * np.sin(0.02)
+
+    res = ransac_absolute_rig(
+        jax.random.PRNGKey(13), jnp.asarray(r_SC), jnp.asarray(q_SC),
+        jnp.asarray(pts), jnp.asarray(bear), jnp.asarray(sel),
+        jnp.asarray([float(intrinsics[c][0]) for c in range(C)]),
+        threshold_px2=jnp.asarray(9.0),
+    )
+    assert bool(res.success)
+    inl = np.asarray(res.inliers)
+    assert not inl[1, bad], "planar rig: outlier missed"
+    assert int(res.num_inliers) == 2 * n_per - 1
+
+
 def test_mixed_spec_rig_fallback_path(rng):
     """A rig whose cameras use DIFFERENT distortion models must route the
     association round through the per-camera fused fallback
