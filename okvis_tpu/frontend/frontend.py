@@ -291,12 +291,13 @@ class Frontend:
             self._pending_stereo is not None
             and self._pending_stereo[0] == multiframe.id
         ):
-            _fid, prs, (s_assign, s_hp, s_valid, s_par) = self._pending_stereo
+            (_fid, prs,
+             (s_assign, s_hp, s_valid, s_par, s_ci)) = self._pending_stereo
             self._pending_stereo = None
             for i, (ca, cb) in enumerate(prs):
                 self._resolve_stereo_pair(
                     estimator, multiframe, ca, cb,
-                    s_assign[i], s_hp[i], s_valid[i], s_par[i],
+                    s_assign[i], s_hp[i], s_valid[i], s_par[i], s_ci[i],
                 )
         else:
             self._match_stereo(estimator, multiframe, T_WS_prop)
@@ -385,13 +386,21 @@ class Frontend:
         )  # (P, C, K, 2)
         desc_b_j = jnp.stack([frame_b.frames[c].descriptors for c in range(C)])
         uv_b_j = jnp.stack([frame_b.frames[c].keypoints.uv for c in range(C)])
-        # current-frame keypoint stddevs (0.8·size/12, ref doSetup :211-214)
+        # keypoint stddevs (0.8·size/12, ref doSetup :211-214) for the
+        # current frame and every source frame (ray sigmas are size-scaled)
         std_b = np.empty((C, K))
         for c in range(C):
             sizes = frame_b.frames[c].sizes
             std_b[c] = 0.8 / 12.0 * (
                 np.asarray(sizes)[:K] if sizes is not None else 8.0
             )
+        std_a = np.empty((P, C, K))
+        for p, src in enumerate(sources):
+            for c in range(C):
+                sizes = src.frames[c].sizes
+                std_a[p, c] = 0.8 / 12.0 * (
+                    np.asarray(sizes)[:K] if sizes is not None else 8.0
+                )
         # keypoints that already carry landmarks: RANSAC candidates too (the
         # reference's noncentral adapter collects all current associations
         # whose landmark has ≥2 observations, FrameNoncentralAbsoluteAdapter
@@ -474,6 +483,7 @@ class Frontend:
                 jnp.asarray(hp_rows),
                 jnp.asarray(free2_a),
                 uv_a_j,
+                jnp.asarray(std_a),
                 T_CW_j,
                 T_WC_a_stk,
                 T_WC_b_stk,
@@ -490,7 +500,7 @@ class Frontend:
                 threshold=cfg.matching_threshold,
                 stereo_pairs=stereo_pairs,
             )
-            (assign3_all, assign2_all, hp_all, val_all, par_all,
+            (assign3_all, assign2_all, hp_all, val_all, par_all, ci_all,
              rs_inliers, rs_num, _rs_success, stereo_out) = jax.device_get(out)
             rs_num = np.full(C, int(rs_num))  # rig-pooled count
             if stereo_pairs:
@@ -512,6 +522,7 @@ class Frontend:
                         jnp.asarray(hp_rows[:, c]),
                         jnp.asarray(free2_a[:, c]),
                         uv_a_j[:, c],
+                        jnp.asarray(std_a[:, c]),
                         kin.SE3(r=T_CW_j.r[c], q=T_CW_j.q[c]),
                         kin.SE3(r=T_WC_a_stk.r[:, c], q=T_WC_a_stk.q[:, c]),
                         kin.SE3(r=T_WC_b_stk.r[c], q=T_WC_b_stk.q[c]),
@@ -534,9 +545,10 @@ class Frontend:
             hp_all = np.stack([f[2] for f in fetched], axis=1)
             val_all = np.stack([f[3] for f in fetched], axis=1)
             par_all = np.stack([f[4] for f in fetched], axis=1)
-            rs_inliers = np.stack([f[5] for f in fetched])
+            ci_all = np.stack([f[5] for f in fetched], axis=1)
+            rs_inliers = np.stack([f[6] for f in fetched])
             # per-camera pools: each camera applies under its own count
-            rs_num = np.asarray([int(f[6]) for f in fetched])
+            rs_num = np.asarray([int(f[7]) for f in fetched])
 
         # ---------- RANSAC degeneracy counter ----------
         # candidates the device RANSAC saw = this round's claims + keypoints
@@ -671,7 +683,9 @@ class Frontend:
                         if not estimator.is_landmark_added(lm_a):
                             fa.landmark_ids[ia] = 0
                         elif lm_a not in claimed:
-                            can_init = (not par_all[p, cam, ia]) and abs(w) >= 1e-6
+                            # device can_init folds parallel + depth
+                            # observability (ref setBestMatch :398-441)
+                            can_init = bool(ci_all[p, cam, ia]) and abs(w) >= 1e-6
                             if can_init:
                                 estimator.set_landmark(lm_a, hp[:3] / w)
                                 estimator.landmarks[lm_a].initialized = True
@@ -687,7 +701,12 @@ class Frontend:
                         if par_all[p, cam, ia] or abs(w) < 1e-6:
                             estimator.add_landmark(lm_id, hp, initialized=False)
                         else:
-                            estimator.add_landmark(lm_id, hp[:3] / w)
+                            # depth-unobservable points enter uninitialized
+                            # (ref canBeInitialized, setBestMatch :398-441)
+                            estimator.add_landmark(
+                                lm_id, hp[:3] / w,
+                                initialized=bool(ci_all[p, cam, ia]),
+                            )
                     except RuntimeError:
                         break  # landmark table full
                     ok1 = estimator.add_observation(
@@ -764,7 +783,15 @@ class Frontend:
                 continue
             T_WC_a = kin.compose(T_WS, estimator.get_extrinsics(ca))
             T_WC_b = kin.compose(T_WS, estimator.get_extrinsics(cb))
-            assign, hp, valid, par = jax.device_get(
+            K = self.cfg.max_keypoints
+
+            def kp_std(f):
+                return 0.8 / 12.0 * (
+                    np.asarray(f.sizes)[:K] if f.sizes is not None
+                    else np.full(K, 8.0)
+                )
+
+            assign, hp, valid, par, can_init = jax.device_get(
                 kernels.stereo_match_triangulate(
                     self.rig.specs[ca],
                     self.rig.specs[cb],
@@ -778,15 +805,18 @@ class Frontend:
                     fb.keypoints.uv,
                     T_WC_a,
                     T_WC_b,
+                    jnp.asarray(kp_std(fa)),
+                    jnp.asarray(kp_std(fb)),
                     threshold=self.cfg.matching_threshold,
                 )
             )
             self._resolve_stereo_pair(
-                estimator, multiframe, ca, cb, assign, hp, valid, par
+                estimator, multiframe, ca, cb, assign, hp, valid, par, can_init
             )
 
     def _resolve_stereo_pair(
-        self, estimator, multiframe, ca, cb, assign, hp_arr, valid, par
+        self, estimator, multiframe, ca, cb, assign, hp_arr, valid, par,
+        can_init,
     ):
         """Create landmarks from a stereo match+triangulation result,
         dropping pairs whose keypoints were claimed since (ref setBestMatch
@@ -808,7 +838,10 @@ class Frontend:
                     # (ref triangulateFast parallel path)
                     estimator.add_landmark(lm_id, hp_arr[ia], initialized=False)
                 else:
-                    estimator.add_landmark(lm_id, hp_arr[ia, :3] / w)
+                    estimator.add_landmark(
+                        lm_id, hp_arr[ia, :3] / w,
+                        initialized=bool(can_init[ia]),
+                    )
             except RuntimeError:
                 break  # landmark table full
             ok1 = estimator.add_observation(

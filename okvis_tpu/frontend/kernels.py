@@ -93,6 +93,9 @@ def project_points(
     return uv, flags == pinhole.STATUS_OK
 
 
+_SQRT_SQRT2 = 1.189207115002721  # sqrt(sqrt(2)), ref raySigma scale
+
+
 @functools.partial(jax.jit, static_argnames=("spec_a", "spec_b"))
 def triangulate_pairs(
     spec_a: CameraSpec,
@@ -104,9 +107,27 @@ def triangulate_pairs(
     uv_a: jnp.ndarray,  # (K, 2) paired keypoints
     uv_b: jnp.ndarray,  # (K, 2)
     pair_mask: jnp.ndarray,  # (K,)
+    std_a: jnp.ndarray,  # (K,) keypoint stddev in A [px] (0.8·size/12)
+    std_b: jnp.ndarray,  # (K,) paired keypoint stddev in B [px]
+    sigma_t2: jnp.ndarray,  # scalar: relative-pose translation variance [m²]
 ):
-    """Batched two-view triangulation of matched keypoint pairs.
-    Returns (hp_W (K,4), valid (K,), parallel (K,))."""
+    """Batched two-view triangulation of matched keypoint pairs with the
+    reference ProbabilisticStereoTriangulator's gating semantics
+    (/root/reference/okvis_frontend/src/ProbabilisticStereoTriangulator.cpp:59-394):
+
+    - ray sigma = √√2 · max(stdA, stdB) / min(fuA, fuB) per pair (keypoint-
+      size scaled, ref doSetup raySigmas + the max in verifyMatch) feeding
+      triangulateFast's parallel/chi² decisions;
+    - post-triangulation reprojection chi² ≤ 4 in BOTH frames (ref
+      computeReprojectionError4 calls at :208-221), with the relative-pose
+      prior translation covariance UOplus (ref doSetup :127-141) folded into
+      frame B's gate covariance U_B = stdB²·I + σt²·J_B·J_Bᵀ — the batched
+      equivalent of the reference's pose-prior Gauss-Newton machinery;
+    - depth observability: move the point 80% toward the baseline midpoint
+      and reproject (ref "evaluate again closer", :330-338); if the weighted
+      residual stays < 4 the depth is unobservable → can_init=False.
+
+    Returns (hp_W (K,4), valid (K,), parallel (K,), can_init (K,))."""
     K = uv_a.shape[0]
     rays_a = jax.vmap(lambda p: pinhole.back_project(spec_a, intr_a, p))(uv_a)
     rays_b = jax.vmap(lambda p: pinhole.back_project(spec_b, intr_b, p))(uv_b)
@@ -114,11 +135,57 @@ def triangulate_pairs(
     e_a = e_a / jnp.linalg.norm(e_a, axis=-1, keepdims=True)
     e_b = kin.quat_rotate(T_WC_b.q[None], rays_b)
     e_b = e_b / jnp.linalg.norm(e_b, axis=-1, keepdims=True)
-    sigma = jnp.full((K,), 2.0 / intr_a[0], dtype=uv_a.dtype)
+    sigma = (
+        _SQRT_SQRT2
+        * jnp.maximum(std_a, std_b)
+        / jnp.minimum(intr_a[0], intr_b[0])
+    ).astype(uv_a.dtype)
     out = triangulate_fast(
         jnp.tile(T_WC_a.r, (K, 1)), e_a, jnp.tile(T_WC_b.r, (K, 1)), e_b, sigma
     )
-    return out.hp, out.valid & pair_mask, out.parallel
+
+    # ---- reprojection gates in both frames (chi² ≤ 4) ----
+    T_CW_a = kin.inverse(T_WC_a)
+    T_CW_b = kin.inverse(T_WC_b)
+
+    def reproject(T_CW, spec, intr, hp):
+        hp_C = jax.vmap(lambda p: kin.transform_hpoint(T_CW, p))(hp)
+        uv, flags = jax.vmap(
+            lambda p: pinhole.project_homogeneous(spec, intr, p)
+        )(hp_C)
+        J = jax.vmap(
+            lambda p: pinhole.project_homogeneous_jacobian(spec, intr, p)
+        )(hp_C)[:, :, :3]
+        return uv, flags == pinhole.STATUS_OK, J
+
+    proj_a, ok_a, _ = reproject(T_CW_a, spec_a, intr_a, out.hp)
+    proj_b, ok_b, J_b = reproject(T_CW_b, spec_b, intr_b, out.hp)
+    err_a = proj_a - uv_a
+    chi2_a = jnp.sum(err_a * err_a, axis=-1) / jnp.maximum(std_a * std_a, 1e-12)
+    # U_B = stdB²·I + σt²·J·Jᵀ (2×2), closed-form inverse quadratic form
+    err_b = proj_b - uv_b
+    U = sigma_t2 * jnp.einsum("kia,kja->kij", J_b, J_b)
+    u11 = U[:, 0, 0] + std_b * std_b
+    u22 = U[:, 1, 1] + std_b * std_b
+    u12 = U[:, 0, 1]
+    det = jnp.maximum(u11 * u22 - u12 * u12, 1e-12)
+    e0, e1 = err_b[..., 0], err_b[..., 1]
+    chi2_b = (u22 * e0 * e0 - 2.0 * u12 * e0 * e1 + u11 * e1 * e1) / det
+    valid = (
+        out.valid & pair_mask & ok_a & ok_b & (chi2_a <= 4.0) & (chi2_b <= 4.0)
+    )
+
+    # ---- depth observability ("evaluate again closer") ----
+    mid_W = 0.5 * (T_WC_a.r + T_WC_b.r)  # baseline midpoint
+    w = out.hp[..., 3:4]
+    closer = jnp.concatenate(
+        [0.8 * (out.hp[..., :3] - mid_W * w) + mid_W * w, w], axis=-1
+    )
+    proj_c, ok_c, _ = reproject(T_CW_b, spec_b, intr_b, closer)
+    err_c = proj_c - uv_b
+    chi2_c = jnp.sum(err_c * err_c, axis=-1) / jnp.maximum(std_b * std_b, 1e-12)
+    can_init = (~out.parallel) & (ok_c & (chi2_c >= 4.0))
+    return out.hp, valid, out.parallel, can_init
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
@@ -182,6 +249,7 @@ def _associate_onecam(
     hp_rows: jnp.ndarray,  # (P, K, 4) landmark homogeneous points per row
     free2d_a: jnp.ndarray,  # (P, K) source rows free for 2D-2D
     uv_a: jnp.ndarray,  # (P, K, 2) source keypoints
+    std_a: jnp.ndarray,  # (P, K) source keypoint stddev [px] (0.8·size/12)
     T_CW: kin.SE3,  # current camera-from-world
     T_WC_a: kin.SE3,  # batched (P,...) source camera poses
     T_WC_b: kin.SE3,  # current camera pose
@@ -249,15 +317,22 @@ def _associate_onecam(
         lambda d_a, m_a: plain_match(d_a, desc_b, m_a, free_b2, threshold=threshold)
     )(desc_a, free2d_a)  # (P, K)
 
-    # ---- triangulate every 2D-2D assignment in-launch ----
+    # ---- triangulate every 2D-2D assignment in-launch; the relative-pose
+    # prior translation variance (velocity-scaled σ², ref doSetup :131-141)
+    # feeds the gate covariance ----
     pmask = assign2 >= 0
     ib = jnp.where(pmask, assign2, 0)
     uv_b_pair = uv_b[ib]  # (P, K, 2)
+    std_b_pair = std_b[ib]  # (P, K)
 
-    def tri_one(Ta, ua, ub, m):
-        return triangulate_pairs(spec, spec, intr, intr, Ta, T_WC_b, ua, ub, m)
+    def tri_one(Ta, ua, ub, m, sa, sb):
+        return triangulate_pairs(
+            spec, spec, intr, intr, Ta, T_WC_b, ua, ub, m, sa, sb, sigma_pos2
+        )
 
-    hp, valid, par = jax.vmap(tri_one)(T_WC_a, uv_a, uv_b_pair, pmask)
+    hp, valid, par, can_init = jax.vmap(tri_one)(
+        T_WC_a, uv_a, uv_b_pair, pmask, std_a, std_b_pair
+    )
 
     # post-2D-2D free estimate (feeds the fused stereo matching): only
     # VALID triangulations claim their keypoint — a chi²-rejected match
@@ -266,12 +341,13 @@ def _associate_onecam(
     idx2 = jnp.where(pmask & valid, assign2, K).reshape(-1)
     claimed2 = jnp.zeros((K,), bool).at[idx2].set(True, mode="drop")
     free_b3 = free_b2 & ~claimed2
-    return assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b, free_b3
+    return (assign3, assign2, hp, valid, par, can_init, pts_b, ransac_sel,
+            bear_b, free_b3)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "threshold"))
 def associate_onecam(
-    spec, key, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
+    spec, key, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a, std_a,
     T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev,
     T_SC, sigma_pos2, gate_radius, ransac_threshold_px2, threshold=60,
 ):
@@ -282,15 +358,16 @@ def associate_onecam(
 
     out = _associate_onecam(
         spec, threshold, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
-        T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev,
+        std_a, T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev,
         pts_prev, sigma_pos2, gate_radius,
     )
-    assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b, _f3 = out
+    (assign3, assign2, hp, valid, par, can_init, pts_b, ransac_sel, bear_b,
+     _f3) = out
     rr = ransac_absolute_rig(
         key, T_SC.r[None], T_SC.q[None], pts_b[None], bear_b[None],
         ransac_sel[None], intr[0][None], threshold_px2=ransac_threshold_px2,
     )
-    return (assign3, assign2, hp, valid, par,
+    return (assign3, assign2, hp, valid, par, can_init,
             rr.inliers[0], rr.num_inliers, rr.success)
 
 
@@ -304,6 +381,7 @@ def associate_multicam(
     hp_rows: jnp.ndarray,  # (P, C, K, 4)
     free2d_a: jnp.ndarray,  # (P, C, K)
     uv_a: jnp.ndarray,  # (P, C, K, 2)
+    std_a: jnp.ndarray,  # (P, C, K) source keypoint stddev [px]
     T_CW: kin.SE3,  # batched (C,...) current camera-from-world
     T_WC_a: kin.SE3,  # batched (P, C, ...) source camera poses
     T_WC_b: kin.SE3,  # batched (C,...) current camera poses
@@ -341,27 +419,28 @@ def associate_multicam(
     drop-on-conflict policy.
 
     Returns (assign3 (P,C,K), assign2 (P,C,K), hp_W (P,C,K,4),
-    tri_valid (P,C,K), tri_parallel (P,C,K),
+    tri_valid (P,C,K), tri_parallel (P,C,K), tri_can_init (P,C,K),
     ransac_inliers (C,K), ransac_num_inliers (), ransac_success (),
-    stereo (assign (S,K), hp (S,K,4), valid (S,K), parallel (S,K))).
+    stereo (assign (S,K), hp (S,K,4), valid (S,K), parallel (S,K),
+    can_init (S,K))).
     """
     from .ransac import ransac_absolute_rig
 
-    def per_cam(intr, d_a, s3, hp_r, f2a, ua, T_CW_c, T_WC_a_c,
+    def per_cam(intr, d_a, s3, hp_r, f2a, ua, s_a, T_CW_c, T_WC_a_c,
                 T_WC_b_c, d_b, f_b, u_b, s_b, sp, pp):
         return _associate_onecam(
-            spec, threshold, intr, d_a, s3, hp_r, f2a, ua,
+            spec, threshold, intr, d_a, s3, hp_r, f2a, ua, s_a,
             T_CW_c, T_WC_a_c, T_WC_b_c, d_b, f_b, u_b, s_b, sp, pp,
             sigma_pos2, gate_radius,
         )
 
-    (assign3, assign2, hp, valid, par, pts_b, ransac_sel, bear_b,
+    (assign3, assign2, hp, valid, par, can_init, pts_b, ransac_sel, bear_b,
      free_b3) = jax.vmap(
         per_cam,
-        in_axes=(0, 1, 1, 1, 1, 1, 0, 1, 0, 0, 0, 0, 0, 0, 0),
-        out_axes=(1, 1, 1, 1, 1, 0, 0, 0, 0),
+        in_axes=(0, 1, 1, 1, 1, 1, 1, 0, 1, 0, 0, 0, 0, 0, 0, 0),
+        out_axes=(1, 1, 1, 1, 1, 1, 0, 0, 0, 0),
     )(
-        intrinsics, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
+        intrinsics, desc_a, sel3d_a, hp_rows, free2d_a, uv_a, std_a,
         T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev,
     )
     rr = ransac_absolute_rig(
@@ -377,20 +456,22 @@ def associate_multicam(
             uv_b[ca], uv_b[cb],
             kin.SE3(r=T_WC_b.r[ca], q=T_WC_b.q[ca]),
             kin.SE3(r=T_WC_b.r[cb], q=T_WC_b.q[cb]),
+            std_b[ca], std_b[cb],
             threshold=threshold,
         )
         stereo.append(s_out)
     if stereo:
         stereo_out = tuple(
-            jnp.stack([s[i] for s in stereo]) for i in range(4)
+            jnp.stack([s[i] for s in stereo]) for i in range(5)
         )
     else:
         K = free_b.shape[1]
         stereo_out = (
             jnp.full((0, K), -1, jnp.int32), jnp.zeros((0, K, 4)),
             jnp.zeros((0, K), bool), jnp.zeros((0, K), bool),
+            jnp.zeros((0, K), bool),
         )
-    return (assign3, assign2, hp, valid, par,
+    return (assign3, assign2, hp, valid, par, can_init,
             rr.inliers, rr.num_inliers, rr.success, stereo_out)
 
 
@@ -408,18 +489,24 @@ def stereo_match_triangulate(
     uv_b: jnp.ndarray,  # (K, 2)
     T_WC_a: kin.SE3,
     T_WC_b: kin.SE3,
+    std_a: jnp.ndarray,  # (K,) keypoint stddev [px]
+    std_b: jnp.ndarray,  # (K,)
     threshold: int = 60,
 ):
     """Intra-multiframe stereo matching + triangulation in ONE launch
     (Frontend.cpp:521-572 matchStereo + setBestMatch triangulation).
-    Returns (assign (K,), hp_W (K,4), valid (K,), parallel (K,))."""
+    Same-frame pair: the relative extrinsics carry the reference's fixed
+    4e-8 translation variance (doSetup :140).
+    Returns (assign (K,), hp_W (K,4), valid (K,), parallel (K,),
+    can_init (K,))."""
     assign = plain_match(desc_a, desc_b, free_a, free_b, threshold=threshold)
     pmask = assign >= 0
     ib = jnp.where(pmask, assign, 0)
-    hp, valid, par = triangulate_pairs(
-        spec_a, spec_b, intr_a, intr_b, T_WC_a, T_WC_b, uv_a, uv_b[ib], pmask
+    hp, valid, par, can_init = triangulate_pairs(
+        spec_a, spec_b, intr_a, intr_b, T_WC_a, T_WC_b, uv_a, uv_b[ib], pmask,
+        std_a, std_b[ib], jnp.asarray(4e-8, uv_a.dtype),
     )
-    return assign, hp, valid, par
+    return assign, hp, valid, par, can_init
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))

@@ -587,11 +587,13 @@ def _random_assoc_inputs(rng, P=2, C=2, K=24):
         q=jnp.asarray(np.tile([0.0, 0, 0, 1.0], (C, 1))),
     )
     std_b = np.full((C, K), 0.8 * 8.0 / 12.0)
+    std_a = np.full((P, C, K), 0.8 * 8.0 / 12.0)
     sel_prev = np.zeros((C, K), bool)
     pts_prev = np.zeros((C, K, 3))
     return (
         spec, jnp.asarray(intr), jnp.asarray(desc_a), jnp.asarray(sel3d),
-        jnp.asarray(hp), jnp.asarray(free2), jnp.asarray(uv_a), T_CW,
+        jnp.asarray(hp), jnp.asarray(free2), jnp.asarray(uv_a),
+        jnp.asarray(std_a), T_CW,
         T_WC_a, T_WC_b, jnp.asarray(desc_b), jnp.asarray(free_b),
         jnp.asarray(uv_b), jnp.asarray(std_b), jnp.asarray(sel_prev),
         jnp.asarray(pts_prev), T_SC, jnp.asarray(1e-2),
@@ -606,13 +608,13 @@ def test_associate_multicam_equals_per_camera(rng):
     from okvis_tpu.frontend import kernels
 
     args = _random_assoc_inputs(rng)
-    (spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
+    (spec, intr, desc_a, sel3d, hp, free2, uv_a, std_a, T_CW, T_WC_a, T_WC_b,
      desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC, sp2) = args
     gate = jnp.asarray(40.0)
     thr2 = jnp.asarray(9.0)
     key = jax.random.PRNGKey(3)
     multi = kernels.associate_multicam(
-        spec, key, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a,
+        spec, key, intr, desc_a, sel3d, hp, free2, uv_a, std_a, T_CW, T_WC_a,
         T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC,
         sp2, gate, thr2, threshold=200,
     )
@@ -620,7 +622,7 @@ def test_associate_multicam_equals_per_camera(rng):
     for c in range(C):
         one = kernels.associate_onecam(
             spec, key, intr[c], desc_a[:, c], sel3d[:, c], hp[:, c],
-            free2[:, c], uv_a[:, c],
+            free2[:, c], uv_a[:, c], std_a[:, c],
             kin.SE3(r=T_CW.r[c], q=T_CW.q[c]),
             kin.SE3(r=T_WC_a.r[:, c], q=T_WC_a.q[:, c]),
             kin.SE3(r=T_WC_b.r[c], q=T_WC_b.q[c]),
@@ -629,7 +631,7 @@ def test_associate_multicam_equals_per_camera(rng):
             kin.SE3(r=T_SC.r[c], q=T_SC.q[c]),
             sp2, gate, thr2, threshold=200,
         )
-        for m, o in list(zip(multi, one))[:5]:
+        for m, o in list(zip(multi, one))[:6]:
             np.testing.assert_allclose(
                 np.asarray(m[:, c]), np.asarray(o), rtol=1e-6, atol=1e-8
             )
@@ -641,11 +643,11 @@ def test_associate_onecam_3d2d_respects_device_claims(rng):
     from okvis_tpu.frontend import kernels
 
     args = _random_assoc_inputs(rng, P=3, C=1, K=32)
-    (spec, intr, desc_a, sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
+    (spec, intr, desc_a, sel3d, hp, free2, uv_a, std_a, T_CW, T_WC_a, T_WC_b,
      desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC, _sp2) = args
     out = kernels.associate_multicam(
         spec, jax.random.PRNGKey(4), intr, desc_a,
-        sel3d, hp, free2, uv_a, T_CW, T_WC_a, T_WC_b,
+        sel3d, hp, free2, uv_a, std_a, T_CW, T_WC_a, T_WC_b,
         desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC,
         jnp.asarray(1e6), jnp.asarray(1e6), jnp.asarray(9.0), threshold=512,
     )
@@ -673,20 +675,92 @@ def test_stereo_match_triangulate_matches_composition(rng):
     T_WC_a = kin.SE3(r=jnp.zeros(3), q=jnp.asarray([0.0, 0, 0, 1]))
     T_WC_b = kin.SE3(r=jnp.asarray([0.2, 0.0, 0.0]), q=jnp.asarray([0.0, 0, 0, 1]))
 
-    assign, hp, valid, par = kernels.stereo_match_triangulate(
+    std = jnp.full(K, 0.8 * 8.0 / 12.0)
+    assign, hp, valid, par, can_init = kernels.stereo_match_triangulate(
         spec, spec, intr, intr, desc_a, desc_b, free_a, free_b, uv_a, uv_b,
-        T_WC_a, T_WC_b, threshold=512,
+        T_WC_a, T_WC_b, std, std, threshold=512,
     )
     assign_ref = kernels.plain_match(desc_a, desc_b, free_a, free_b, threshold=512)
     np.testing.assert_array_equal(np.asarray(assign), np.asarray(assign_ref))
     pmask = assign_ref >= 0
     ib = jnp.where(pmask, assign_ref, 0)
-    hp_ref, valid_ref, par_ref = kernels.triangulate_pairs(
-        spec, spec, intr, intr, T_WC_a, T_WC_b, uv_a, uv_b[ib], pmask
+    hp_ref, valid_ref, par_ref, ci_ref = kernels.triangulate_pairs(
+        spec, spec, intr, intr, T_WC_a, T_WC_b, uv_a, uv_b[ib], pmask,
+        std, std[ib], jnp.asarray(4e-8),
     )
     np.testing.assert_allclose(np.asarray(hp), np.asarray(hp_ref), rtol=1e-7)
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(valid_ref))
     np.testing.assert_array_equal(np.asarray(par), np.asarray(par_ref))
+    np.testing.assert_array_equal(np.asarray(can_init), np.asarray(ci_ref))
+
+
+def test_triangulation_gate_pose_uncertainty(rng):
+    """The relative-pose translation covariance must relax the triangulation
+    reprojection gate (ref ProbabilisticStereoTriangulator pose-prior
+    machinery, ProbabilisticStereoTriangulator.cpp:59-394): a match that a
+    near-certain pose rejects is admitted when the pose is uncertain
+    (velocity-scaled UOplus, doSetup :131-141), and vice versa."""
+    from okvis_tpu.frontend import kernels
+    from okvis_tpu.cameras import pinhole as ph
+    from okvis_tpu.cameras.pinhole import CameraSpec
+
+    spec = CameraSpec(width=640, height=480, dist_type="none")
+    intr = jnp.asarray([460.0, 460.0, 320.0, 240.0])
+    T_WC_a = kin.SE3(r=jnp.zeros(3), q=jnp.asarray([0.0, 0, 0, 1]))
+    T_WC_b = kin.SE3(r=jnp.asarray([0.2, 0.0, 0.0]), q=jnp.asarray([0.0, 0, 0, 1]))
+    p_W = jnp.asarray([0.3, -0.2, 6.0])
+    uv_a, fa = ph.project(spec, intr, p_W)
+    uv_b, fb = ph.project(spec, intr, p_W - T_WC_b.r)
+    assert int(fa) == 0 and int(fb) == 0
+    # perturb B's keypoint 4 px perpendicular to the epipolar plane: the
+    # midpoint splits ~2 px of reprojection error into each frame
+    uv_b = uv_b + jnp.asarray([0.0, 4.0])
+    K = 1
+    args = (
+        spec, spec, intr, intr, T_WC_a, T_WC_b,
+        uv_a[None], uv_b[None], jnp.ones(K, bool),
+        # a LARGE keypoint in A (size 24 -> std 1.6 px: 2 px passes) and a
+        # small one in B (size 8 -> std 0.53 px: 2 px fails on its own)
+        jnp.asarray([0.8 * 24.0 / 12.0]), jnp.asarray([0.8 * 8.0 / 12.0]),
+    )
+    # near-certain relative pose (ref 4e-8): the B-side chi² rejects
+    _, valid_tight, _, _ = kernels.triangulate_pairs(*args, jnp.asarray(4e-8))
+    # fast motion (|v|=3 m/s -> scale² · 1e-2 = 0.09 m²): admitted
+    _, valid_loose, _, _ = kernels.triangulate_pairs(*args, jnp.asarray(0.09))
+    assert not bool(valid_tight[0]), "near-certain pose must reject the 4 px match"
+    assert bool(valid_loose[0]), "uncertain pose must admit the 4 px match"
+
+
+def test_triangulation_depth_observability(rng):
+    """A short-baseline pair (depth barely observable) must come back
+    can_init=False while a wide-baseline pair initializes (ref 'evaluate
+    again closer' test, ProbabilisticStereoTriangulator.cpp:330-338)."""
+    from okvis_tpu.frontend import kernels
+    from okvis_tpu.cameras import pinhole as ph
+    from okvis_tpu.cameras.pinhole import CameraSpec
+
+    spec = CameraSpec(width=640, height=480, dist_type="none")
+    intr = jnp.asarray([460.0, 460.0, 320.0, 240.0])
+    std = jnp.asarray([0.8 * 8.0 / 12.0])
+    p_W = jnp.asarray([0.1, -0.1, 8.0])
+    T_WC_a = kin.SE3(r=jnp.zeros(3), q=jnp.asarray([0.0, 0, 0, 1]))
+    uv_a, _ = ph.project(spec, intr, p_W)
+    for baseline, expect_init in ((0.002, False), (0.5, True)):
+        T_WC_b = kin.SE3(
+            r=jnp.asarray([baseline, 0.0, 0.0]), q=jnp.asarray([0.0, 0, 0, 1])
+        )
+        uv_b, _ = ph.project(spec, intr, p_W - T_WC_b.r)
+        hp, valid, par, can_init = kernels.triangulate_pairs(
+            spec, spec, intr, intr, T_WC_a, T_WC_b,
+            uv_a[None], uv_b[None], jnp.ones(1, bool), std, std,
+            jnp.asarray(4e-8),
+        )
+        if bool(par[0]):
+            assert not expect_init  # parallel rays can never initialize
+            continue
+        assert bool(can_init[0]) == expect_init, (
+            f"baseline {baseline}: can_init={bool(can_init[0])}"
+        )
 
 
 def test_associate_batched_single_fused_launch(rng, monkeypatch):
