@@ -39,6 +39,7 @@ from ..imu.preintegration import ImuParams, init_pose_from_imu, preintegrate, pr
 from ..kinematics.se3 import SE3
 from ..solver import (
     BaProblem,
+    ExtLinks,
     ImuLinks,
     MargPrior,
     Observations,
@@ -151,6 +152,11 @@ class Estimator:
         self.hp_W = np.tile([0.0, 0, 0, 1], (L, 1))
         self.r_SC = np.array(rig.T_SC.r, dtype=np.float64)
         self.q_SC = np.array(rig.T_SC.q, dtype=np.float64)
+        # per-state (temporally varying) extrinsics tables + drift links
+        # (ref per-state T_SCi blocks + RelativePoseError, Estimator.cpp:199-218,306-340)
+        self.r_SC_t = np.tile(self.r_SC[None], (S, 1, 1))
+        self.q_SC_t = np.tile(self.q_SC[None], (S, 1, 1))
+        self.ext_links: List[dict] = []  # {id_a, id_b, trans_var, rot_var}
 
         # FEJ linearization points + marginal prior (numpy mirrors)
         self.fej_r_WS = self.r_WS.copy()
@@ -162,6 +168,9 @@ class Estimator:
         self.fej_r_SC = self.r_SC.copy()
         self.fej_q_SC = self.q_SC.copy()
         self.fej_ext_frozen = False
+        self.fej_r_SC_t = self.r_SC_t.copy()
+        self.fej_q_SC_t = self.q_SC_t.copy()
+        self.fej_ext_t_frozen = np.zeros(S, bool)  # per state slot
         D = self.cfg.dense_dim
         self.marg_H = np.zeros((D, D))
         self.marg_b0 = np.zeros(D)
@@ -385,6 +394,23 @@ class Estimator:
         self.q_WS[slot] = np.array(T_WS.q)
         self.sb[slot] = sb
 
+        if self.cfg.extrinsics_per_state:
+            # a fresh per-state extrinsics block for this state, initialized
+            # from the newest estimate (ref creates one per state,
+            # Estimator.cpp:199-218; ref inits at the nominal T_SC — starting
+            # at the running estimate is equivalent under the drift link and
+            # avoids re-converging each frame)
+            if len(self.states) > 1:
+                last = [s for s in self.states.values() if s.id != state_id][-1]
+                self.r_SC_t[slot] = self.r_SC_t[last.slot].copy()
+                self.q_SC_t[slot] = self.q_SC_t[last.slot].copy()
+            else:
+                self.r_SC_t[slot] = self.r_SC.copy()
+                self.q_SC_t[slot] = self.q_SC.copy()
+            self.fej_r_SC_t[slot] = self.r_SC_t[slot].copy()
+            self.fej_q_SC_t[slot] = self.q_SC_t[slot].copy()
+            self.fej_ext_t_frozen[slot] = False
+
         if len(self.states) == 1:
             # first frame: position+yaw pose prior (info 1e8) + speed/bias
             # prior (Estimator.cpp:238-285)
@@ -403,6 +429,29 @@ class Estimator:
             self.sb_priors.append(
                 dict(pose_id=state_id, sb=sb.copy(), sqrt_info=sqrt_info_sb)
             )
+            if self.cfg.extrinsics_per_state:
+                # first-frame extrinsics anchoring (Estimator.cpp:287-315):
+                # absolute PoseError prior when sigma_absolute_* > 0, else the
+                # block is constant — expressed as a stiff gauge prior, both
+                # through the marginal-prior mechanism around the FEJ point
+                sig_t = self.cfg.sigma_absolute_translation
+                sig_r = self.cfg.sigma_absolute_orientation
+                if sig_t > 1e-8 and sig_r > 1e-8:
+                    info = np.concatenate(
+                        [np.full(3, 1.0 / sig_t**2), np.full(3, 1.0 / sig_r**2)]
+                    )
+                else:
+                    w = 1e14 if self.dtype == jnp.float64 else 1e8
+                    info = np.full(6, w)
+                if not isinstance(self.marg_H, np.ndarray):
+                    self.marg_H = np.array(self.marg_H, np.float64)
+                    self.marg_b0 = np.array(self.marg_b0, np.float64)
+                    self.marg_c0 = float(self.marg_c0)
+                for c in range(self.cfg.num_cameras):
+                    i0 = self.cfg.ext_ps_offset(slot, c)
+                    self.marg_H[i0 : i0 + 6, i0 : i0 + 6] += np.diag(info)
+                self.fej_ext_t_frozen[slot] = True
+                self.marg_valid = True
         else:
             # IMU link to the previous state
             last = [s for s in self.states.values() if s.id != state_id][-1]
@@ -419,6 +468,22 @@ class Estimator:
                     t1=float(timestamp),
                 )
             )
+            if self.cfg.extrinsics_per_state:
+                # temporal drift link (RelativePoseError with sigma_c²·dt,
+                # Estimator.cpp:306-340)
+                dt = max(float(timestamp) - last.timestamp, 1e-6)
+                self.ext_links.append(
+                    dict(
+                        id_a=last.id,
+                        id_b=state_id,
+                        trans_var=max(
+                            self.cfg.sigma_c_relative_translation**2 * dt, 1e-16
+                        ),
+                        rot_var=max(
+                            self.cfg.sigma_c_relative_orientation**2 * dt, 1e-16
+                        ),
+                    )
+                )
         return state_id
 
     @staticmethod
@@ -534,6 +599,7 @@ class Estimator:
         for lm in self.landmarks.values():
             lm_mask[lm.slot] = True
 
+        per_state = cfg.extrinsics_per_state
         states = WindowStates(
             r_WS=jnp.asarray(self.r_WS, dt),
             q_WS=jnp.asarray(self.q_WS, dt),
@@ -541,6 +607,8 @@ class Estimator:
             r_SC=jnp.asarray(self.r_SC, dt),
             q_SC=jnp.asarray(self.q_SC, dt),
             hp_W=jnp.asarray(self.hp_W, dt),
+            r_SC_t=jnp.asarray(self.r_SC_t, dt) if per_state else None,
+            q_SC_t=jnp.asarray(self.q_SC_t, dt) if per_state else None,
         )
 
         # observations
@@ -650,6 +718,8 @@ class Estimator:
             r_SC_lin=jnp.asarray(self.fej_r_SC, dt),
             q_SC_lin=jnp.asarray(self.fej_q_SC, dt),
             valid=jnp.asarray(self.marg_valid),
+            r_SC_t_lin=jnp.asarray(self.fej_r_SC_t, dt) if per_state else None,
+            q_SC_t_lin=jnp.asarray(self.fej_q_SC_t, dt) if per_state else None,
         )
 
         return BaProblem(
@@ -662,6 +732,42 @@ class Estimator:
             pose_priors=pose_priors,
             sb_priors=sb_priors,
             marg=marg,
+            ext_links=self._build_ext_links() if per_state else None,
+        )
+
+    def _build_ext_links(self) -> ExtLinks:
+        """Padded relative-extrinsics drift factor table (per-state mode)."""
+        cfg = self.cfg
+        C = cfg.num_cameras
+        Ke = cfg.ext_link_capacity
+        el_a = np.zeros(Ke, np.int32)
+        el_b = np.ones(Ke, np.int32)
+        el_c = np.zeros(Ke, np.int32)
+        el_W = np.zeros((Ke, 6, 6))
+        el_m = np.zeros(Ke, bool)
+        i = 0
+        for l in self.ext_links:
+            if l["id_a"] not in self.states or l["id_b"] not in self.states:
+                continue
+            w = np.diag(
+                [1.0 / np.sqrt(l["trans_var"])] * 3
+                + [1.0 / np.sqrt(l["rot_var"])] * 3
+            )
+            for c in range(C):
+                if i >= Ke:
+                    raise RuntimeError("extrinsics link table full")
+                el_a[i] = self.states[l["id_a"]].slot
+                el_b[i] = self.states[l["id_b"]].slot
+                el_c[i] = c
+                el_W[i] = w
+                el_m[i] = True
+                i += 1
+        return ExtLinks(
+            idx_a=jnp.asarray(el_a),
+            idx_b=jnp.asarray(el_b),
+            cam=jnp.asarray(el_c),
+            sqrt_info=jnp.asarray(el_W, self.dtype),
+            mask=jnp.asarray(el_m),
         )
 
     def _preintegrate_links(self, links, sb_source: np.ndarray):
@@ -712,7 +818,15 @@ class Estimator:
         self.q_WS = np.array(states.q_WS)
         self.sb = np.array(states.speed_and_bias)
         self.hp_W = np.array(states.hp_W)
-        if self.cfg.estimate_extrinsics:
+        if self.cfg.extrinsics_per_state:
+            self.r_SC_t = np.array(states.r_SC_t)
+            self.q_SC_t = np.array(states.q_SC_t)
+            # mirror the newest state's calibration into the shared tables
+            # the frontend reads (freshest estimate for projection/gating)
+            newest = self._last_state()
+            self.r_SC = self.r_SC_t[newest.slot].copy()
+            self.q_SC = self.q_SC_t[newest.slot].copy()
+        elif self.cfg.estimate_extrinsics:
             self.r_SC = np.array(states.r_SC)
             self.q_SC = np.array(states.q_SC)
         # landmark quality (Estimator.cpp:880-900)
@@ -789,6 +903,18 @@ class Estimator:
                     self.pose_priors.remove(pr)
                     redo_fixation = True
 
+        # per-state extrinsics blocks of removed frames: marginalized with
+        # the pose; their drift links are absorbed into the prior
+        # (ref Estimator.cpp:587-619 — T_SCi of removed frames + attached
+        # non-reprojection residuals enter the marginalization error)
+        absorb_ext_links: List[dict] = []
+        if self.cfg.extrinsics_per_state:
+            for s in remove_frames:
+                for l in list(self.ext_links):
+                    if l["id_a"] == s.id or l["id_b"] == s.id:
+                        absorb_ext_links.append(l)
+                        self.ext_links.remove(l)
+
         # --- landmark triage (Estimator.cpp:624-725) ---
         # absorbed observations carry their landmark slot (the landmark record
         # is removed only after the marginalization step consumed the slot)
@@ -846,6 +972,8 @@ class Estimator:
             involved_ids.add(o.pose_id)
         for s in marg_sb_states + remove_frames:
             involved_ids.add(s.id)
+        for l in absorb_ext_links:
+            involved_ids.update((l["id_a"], l["id_b"]))
         for sid in involved_ids:
             if sid in self.states:
                 s = self.states[sid]
@@ -854,6 +982,13 @@ class Estimator:
                     self.fej_q_WS[s.slot] = self.q_WS[s.slot]
                     self.fej_sb[s.slot] = self.sb[s.slot]
                     s.fej_frozen = True
+                if (
+                    self.cfg.extrinsics_per_state
+                    and not self.fej_ext_t_frozen[s.slot]
+                ):
+                    self.fej_r_SC_t[s.slot] = self.r_SC_t[s.slot]
+                    self.fej_q_SC_t[s.slot] = self.q_SC_t[s.slot]
+                    self.fej_ext_t_frozen[s.slot] = True
 
         # --- build masks ---
         S = self.cfg.num_states
@@ -863,6 +998,9 @@ class Estimator:
             marg_dense[s.slot * 15 + 6 : s.slot * 15 + 15] = True
         for s in remove_frames:
             marg_dense[s.slot * 15 : s.slot * 15 + 6] = True
+            if self.cfg.extrinsics_per_state:
+                i0 = self.cfg.ext_ps_offset(s.slot, 0)
+                marg_dense[i0 : i0 + 6 * self.cfg.num_cameras] = True
         marg_lm_mask = np.zeros(self.cfg.max_landmarks, bool)
         for slot in marg_lm_slots:
             marg_lm_mask[slot] = True
@@ -873,9 +1011,13 @@ class Estimator:
             self.fej_ext_frozen = True
 
         any_marg = marg_dense.any() or marg_lm_mask.any()
-        if any_marg and (absorb_links or absorb_obs or absorb_sb_priors or self.marg_valid):
+        if any_marg and (
+            absorb_links or absorb_obs or absorb_sb_priors or absorb_ext_links
+            or self.marg_valid
+        ):
             problem = self._build_marg_problem(
-                absorb_links, absorb_obs, absorb_sb_priors, marg_lm_slots, marg_lm_mask
+                absorb_links, absorb_obs, absorb_sb_priors, marg_lm_slots,
+                marg_lm_mask, absorb_ext_links,
             )
             keep_dense = np.asarray(
                 dense_dim_mask(
@@ -939,15 +1081,22 @@ class Estimator:
 
     def states_slot_reset(self, slot: int) -> None:
         i0 = slot * 15
+        spans = [(i0, i0 + 15)]
+        if self.cfg.extrinsics_per_state:
+            e0 = self.cfg.ext_ps_offset(slot, 0)
+            spans.append((e0, e0 + 6 * self.cfg.num_cameras))
+            self.fej_ext_t_frozen[slot] = False
         if isinstance(self.marg_H, np.ndarray):
-            self.marg_H[i0 : i0 + 15, :] = 0.0
-            self.marg_H[:, i0 : i0 + 15] = 0.0
-            self.marg_b0[i0 : i0 + 15] = 0.0
+            for a, b in spans:
+                self.marg_H[a:b, :] = 0.0
+                self.marg_H[:, a:b] = 0.0
+                self.marg_b0[a:b] = 0.0
         else:
             # device-resident prior: masked zeroing dispatches async
-            self.marg_H = self.marg_H.at[i0 : i0 + 15, :].set(0.0)
-            self.marg_H = self.marg_H.at[:, i0 : i0 + 15].set(0.0)
-            self.marg_b0 = self.marg_b0.at[i0 : i0 + 15].set(0.0)
+            for a, b in spans:
+                self.marg_H = self.marg_H.at[a:b, :].set(0.0)
+                self.marg_H = self.marg_H.at[:, a:b].set(0.0)
+                self.marg_b0 = self.marg_b0.at[a:b].set(0.0)
 
     def _remove_landmark(self, lm_id: int) -> None:
         lm = self.landmarks.pop(lm_id)
@@ -960,12 +1109,14 @@ class Estimator:
         self.observations = [o for o in self.observations if o.lm_id != lm_id]
 
     def _build_marg_problem(
-        self, absorb_links, absorb_obs, absorb_sb_priors, marg_lm_slots, marg_lm_mask
+        self, absorb_links, absorb_obs, absorb_sb_priors, marg_lm_slots,
+        marg_lm_mask, absorb_ext_links=(),
     ) -> BaProblem:
         """Problem holding exactly the factors to absorb, with states at FEJ
         linearization points (frozen for prior-covered states, current for
         the landmarks being eliminated)."""
         cfg = self.cfg
+        per_state = cfg.extrinsics_per_state
         p = empty_problem(cfg, dtype=self.dtype)
 
         states = p.states._replace(
@@ -975,6 +1126,8 @@ class Estimator:
             r_SC=jnp.asarray(self.fej_r_SC, self.dtype),
             q_SC=jnp.asarray(self.fej_q_SC, self.dtype),
             hp_W=jnp.asarray(self.hp_W, self.dtype),
+            r_SC_t=jnp.asarray(self.fej_r_SC_t, self.dtype) if per_state else None,
+            q_SC_t=jnp.asarray(self.fej_q_SC_t, self.dtype) if per_state else None,
         )
         state_mask = np.zeros(cfg.num_states, bool)
         for s in self.states.values():
@@ -1050,7 +1203,39 @@ class Estimator:
             r_SC_lin=jnp.asarray(self.fej_r_SC, self.dtype),
             q_SC_lin=jnp.asarray(self.fej_q_SC, self.dtype),
             valid=jnp.asarray(self.marg_valid),
+            r_SC_t_lin=jnp.asarray(self.fej_r_SC_t, self.dtype) if per_state else None,
+            q_SC_t_lin=jnp.asarray(self.fej_q_SC_t, self.dtype) if per_state else None,
         )
+
+        ext_links = p.ext_links
+        if per_state and absorb_ext_links:
+            C = cfg.num_cameras
+            Ke = cfg.ext_link_capacity
+            el_a = np.zeros(Ke, np.int32)
+            el_b = np.ones(Ke, np.int32)
+            el_c = np.zeros(Ke, np.int32)
+            el_W = np.zeros((Ke, 6, 6))
+            el_m = np.zeros(Ke, bool)
+            i = 0
+            for l in absorb_ext_links:
+                w = np.diag(
+                    [1.0 / np.sqrt(l["trans_var"])] * 3
+                    + [1.0 / np.sqrt(l["rot_var"])] * 3
+                )
+                for c in range(C):
+                    el_a[i] = self.states[l["id_a"]].slot
+                    el_b[i] = self.states[l["id_b"]].slot
+                    el_c[i] = c
+                    el_W[i] = w
+                    el_m[i] = True
+                    i += 1
+            ext_links = ExtLinks(
+                idx_a=jnp.asarray(el_a),
+                idx_b=jnp.asarray(el_b),
+                cam=jnp.asarray(el_c),
+                sqrt_info=jnp.asarray(el_W, self.dtype),
+                mask=jnp.asarray(el_m),
+            )
 
         lm_mask = jnp.asarray(marg_lm_mask)
         return p._replace(
@@ -1061,6 +1246,7 @@ class Estimator:
             imu_links=links,
             sb_priors=sp,
             marg=marg,
+            ext_links=ext_links,
         )
 
     # ------------------------------------------------------------------
@@ -1105,7 +1291,16 @@ class Estimator:
     def current_frame_id(self) -> int:
         return self._last_state().id
 
-    def get_extrinsics(self, cam_idx: int) -> kin.SE3:
+    def get_extrinsics(self, cam_idx: int, state_id: Optional[int] = None) -> kin.SE3:
+        """Camera extrinsics T_SC. In per-state mode, `state_id` selects a
+        specific state's block (default: the shared mirror, which optimize()
+        keeps synced to the newest state's estimate)."""
+        if self.cfg.extrinsics_per_state and state_id is not None:
+            slot = self.states[state_id].slot
+            return kin.SE3(
+                r=jnp.asarray(self.r_SC_t[slot, cam_idx]),
+                q=jnp.asarray(self.q_SC_t[slot, cam_idx]),
+            )
         return kin.SE3(r=jnp.asarray(self.r_SC[cam_idx]), q=jnp.asarray(self.q_SC[cam_idx]))
 
     def landmark_observation_count(self, lm_id: int) -> int:
@@ -1122,6 +1317,8 @@ class Estimator:
         "sb_priors", "r_WS", "q_WS", "sb", "hp_W", "r_SC", "q_SC",
         "fej_r_WS", "fej_q_WS", "fej_sb", "fej_r_SC", "fej_q_SC",
         "fej_ext_frozen", "marg_H", "marg_b0", "marg_c0", "marg_valid",
+        "r_SC_t", "q_SC_t", "ext_links", "fej_r_SC_t", "fej_q_SC_t",
+        "fej_ext_t_frozen",
     )
 
     def save_checkpoint(self, path: str) -> None:

@@ -69,19 +69,55 @@ class ThreadedVio:
 
         _jax.config.update("jax_default_matmul_precision", "high")
         # online extrinsics calibration when the config provides absolute
-        # extrinsic sigmas (ref Estimator.cpp:287-307; 0.0 = fixed)
+        # extrinsic sigmas (ref Estimator.cpp:287-307; 0.0 = fixed); when
+        # BOTH relative sigmas are set, switch to per-state (temporally
+        # varying) extrinsics blocks linked by RelativePoseError drift
+        # factors (ref Estimator.cpp:199-218, 306-340)
         sig_t = params.camera_params.sigma_absolute_translation
         sig_r = params.camera_params.sigma_absolute_orientation
+        rel_t = params.camera_params.sigma_c_relative_translation
+        rel_r = params.camera_params.sigma_c_relative_orientation
         online_calib = sig_t > 1e-8 and sig_r > 1e-8
+        per_state = rel_t > 1e-12 and rel_r > 1e-12
+        if (rel_t > 1e-12) != (rel_r > 1e-12):
+            import logging
+
+            logging.getLogger("okvis_tpu").warning(
+                "only one of sigma_c_relative_translation/orientation is "
+                "nonzero — temporal extrinsics calibration needs BOTH "
+                "(ref Estimator.cpp:199-205); treating extrinsics as "
+                "temporally constant"
+            )
+        cfg = None
+        if per_state:
+            from ..solver import WindowConfig
+
+            S = (
+                params.optimization.num_keyframes
+                + params.optimization.num_imu_frames
+                + 1
+            )
+            cfg = WindowConfig(
+                num_states=S,
+                num_cameras=self.rig.num_cameras,
+                camera_specs=tuple(self.rig.specs),
+                max_imu_links=S - 1,
+                extrinsics_per_state=True,
+                sigma_c_relative_translation=rel_t,
+                sigma_c_relative_orientation=rel_r,
+                sigma_absolute_translation=sig_t,
+                sigma_absolute_orientation=sig_r,
+            )
         self.estimator = Estimator(
             self.rig,
             self.imu_params,
             num_keyframes=params.optimization.num_keyframes,
             num_imu_frames=params.optimization.num_imu_frames,
-            estimate_extrinsics=online_calib,
+            estimate_extrinsics=online_calib and not per_state,
+            cfg=cfg,
             dtype=dtype,
         )
-        if online_calib:
+        if online_calib and not per_state:
             self.estimator.add_extrinsics_prior(sig_t, sig_r)
         if params.optimization.distributed_devices > 0:
             # sharded BA over a device mesh (config `distributed: devices: N`)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..factors.imu_factor import imu_error
-from ..factors.priors import pose_error, speed_and_bias_error
+from ..factors.priors import pose_error, relative_pose_error, speed_and_bias_error
 from ..factors.reprojection import reprojection_error
 from ..imu.preintegration import ImuParams
 from ..kinematics import se3
@@ -55,7 +55,17 @@ def marg_delta_chi(cfg: WindowConfig, states: WindowStates, marg) -> jnp.ndarray
     d_ext = se3.minus(
         SE3(r=marg.r_SC_lin, q=marg.q_SC_lin), SE3(r=states.r_SC, q=states.q_SC)
     ).reshape(-1)  # (C*6,)
-    return jnp.concatenate([d_states, d_ext])
+    parts = [d_states, d_ext]
+    if cfg.extrinsics_per_state:
+        d_ext_ps = se3.minus(
+            SE3(
+                r=marg.r_SC_t_lin.reshape(-1, 3),
+                q=marg.q_SC_t_lin.reshape(-1, 4),
+            ),
+            SE3(r=states.r_SC_t.reshape(-1, 3), q=states.q_SC_t.reshape(-1, 4)),
+        ).reshape(-1)  # (S*C*6,)
+        parts.append(d_ext_ps)
+    return jnp.concatenate(parts)
 
 
 def evaluate_reprojection(
@@ -113,12 +123,33 @@ def evaluate_reprojection(
         J_hp = jnp.zeros((O, 2, 3), dtype)
         for c in range(C):
             spec = cfg.camera_specs[c]
-            T_SC = SE3(r=states.r_SC[c], q=states.q_SC[c])
+            if cfg.extrinsics_per_state:
+                # temporally varying extrinsics: each observation sees ITS
+                # state's T_SC block (ref per-state T_SCi, Estimator.cpp:199-218)
+                T_SC_o = SE3(
+                    r=states.r_SC_t[obs.state_idx, c],
+                    q=states.q_SC_t[obs.state_idx, c],
+                )
 
-            def one(kp, w, T_ws, hp):
-                return reprojection_error(spec, intrinsics[c], kp, w, T_ws, hp, T_SC)
+                def one(kp, w, T_ws, hp, T_sc):
+                    return reprojection_error(
+                        spec, intrinsics[c], kp, w, T_ws, hp, T_sc
+                    )
 
-            r_c, J_c, _valid = jax.vmap(one)(obs.keypoint, obs.sqrt_info, T_WS_o, hp_o)
+                r_c, J_c, _valid = jax.vmap(one)(
+                    obs.keypoint, obs.sqrt_info, T_WS_o, hp_o, T_SC_o
+                )
+            else:
+                T_SC = SE3(r=states.r_SC[c], q=states.q_SC[c])
+
+                def one(kp, w, T_ws, hp):
+                    return reprojection_error(
+                        spec, intrinsics[c], kp, w, T_ws, hp, T_SC
+                    )
+
+                r_c, J_c, _valid = jax.vmap(one)(
+                    obs.keypoint, obs.sqrt_info, T_WS_o, hp_o
+                )
             sel = (obs.cam_idx == c)[:, None]
             res = jnp.where(sel, r_c, res)
             J_pose = jnp.where(sel[..., None], J_c.J_pose, J_pose)
@@ -135,18 +166,29 @@ def evaluate_reprojection(
     scale = (w_r[:, None, None] * m[..., None])
     J_pose = J_pose * scale
     J_hp = J_hp * scale
-    if cfg.estimate_extrinsics:
+    if cfg.estimate_extrinsics or cfg.extrinsics_per_state:
         J_ext = J_ext * scale
     else:
         J_ext = jnp.zeros_like(J_ext)
 
-    # dense 12-column block per observation: [pose(6) | extrinsics(6)]
+    # dense 12-column block per observation: [pose(6) | extrinsics(6)];
+    # the extrinsics columns land on the shared block or on the
+    # observation's per-state block depending on the mode
     J12 = jnp.concatenate([J_pose, J_ext], axis=-1)  # (O, 2, 12)
     col_base = jnp.arange(6, dtype=jnp.int32)
+    if cfg.extrinsics_per_state:
+        ext_cols = (
+            S * 15
+            + C * 6
+            + (obs.state_idx * C + obs.cam_idx)[:, None] * 6
+            + col_base[None, :]
+        )
+    else:
+        ext_cols = S * 15 + obs.cam_idx[:, None] * 6 + col_base[None, :]
     cols = jnp.concatenate(
         [
             obs.state_idx[:, None] * 15 + col_base[None, :],
-            S * 15 + obs.cam_idx[:, None] * 6 + col_base[None, :],
+            ext_cols,
         ],
         axis=1,
     )  # (O, 12)
@@ -247,6 +289,39 @@ def evaluate_dense_factors(
     Jf = jnp.einsum("kij,kjd->kid", sp_J, E_sp)
     H_dd = H_dd + jnp.einsum("kid,kie->de", Jf, Jf)
     b_d = b_d - jnp.einsum("kid,ki->d", Jf, sp_res)
+
+    # ---------------- relative-extrinsics drift links ----------------
+    # (per-state calibration mode; ref RelativePoseError between consecutive
+    # T_SCi blocks with variance sigma_c²·dt, Estimator.cpp:306-340)
+    if cfg.extrinsics_per_state:
+        el = problem.ext_links
+        C = cfg.num_cameras
+
+        def eval_el(ia, ib, cam, W6):
+            T0 = SE3(r=states.r_SC_t[ia, cam], q=states.q_SC_t[ia, cam])
+            T1 = SE3(r=states.r_SC_t[ib, cam], q=states.q_SC_t[ib, cam])
+            return relative_pose_error(W6, T0, T1)
+
+        el_res, el_J0, el_J1 = jax.vmap(eval_el)(
+            el.idx_a, el.idx_b, el.cam, el.sqrt_info
+        )
+        elm = el.mask.astype(dtype)
+        el_res = el_res * elm[:, None]
+        cost = cost + 0.5 * jnp.sum(el_res * el_res)
+        J12e = jnp.concatenate([el_J0, el_J1], axis=-1) * elm[:, None, None]
+        base = S * 15 + C * 6
+        col6 = jnp.arange(6, dtype=jnp.int32)
+        cols_el = jnp.concatenate(
+            [
+                base + (el.idx_a * C + el.cam)[:, None] * 6 + col6[None, :],
+                base + (el.idx_b * C + el.cam)[:, None] * 6 + col6[None, :],
+            ],
+            axis=1,
+        )  # (Ke, 12)
+        E_el = jax.nn.one_hot(cols_el, D, dtype=dtype)
+        Jf = jnp.einsum("kij,kjd->kid", J12e, E_el)
+        H_dd = H_dd + jnp.einsum("kid,kie->de", Jf, Jf)
+        b_d = b_d - jnp.einsum("kid,ki->d", Jf, el_res)
 
     # ---------------- marginalization prior ----------------
     marg = problem.marg

@@ -132,16 +132,23 @@ def dense_dim_mask(
     Pose dims follow state_mask; speed/bias dims additionally require sb_mask
     (old keyframes whose speed/bias was marginalized keep pose-only dims,
     ref Estimator.cpp:483-520)."""
-    S = cfg.num_states
+    S, C = cfg.num_states, cfg.num_cameras
     sm = jnp.repeat(state_mask, 15, total_repeat_length=S * 15).reshape(S, 15)
     if sb_mask is not None:
         sm = sm.at[:, 6:].set(sm[:, 6:] & sb_mask[:, None])
     sm = sm.reshape(S * 15)
-    if cfg.estimate_extrinsics:
-        em = jnp.ones((cfg.num_cameras * 6,), bool)
+    if cfg.estimate_extrinsics and not cfg.extrinsics_per_state:
+        em = jnp.ones((C * 6,), bool)
     else:
-        em = jnp.zeros((cfg.num_cameras * 6,), bool)
-    return jnp.concatenate([sm, em])
+        # per-state mode: the SHARED block is unused (its per-state blocks
+        # below are the free variables); fixed mode: nothing free
+        em = jnp.zeros((C * 6,), bool)
+    parts = [sm, em]
+    if cfg.extrinsics_per_state:
+        parts.append(
+            jnp.repeat(state_mask, C * 6, total_repeat_length=S * C * 6)
+        )
+    return jnp.concatenate(parts)
 
 
 def solve_normal_eqs(
@@ -207,10 +214,19 @@ def apply_update(
     sm = state_mask.astype(delta_d.dtype)[:, None]
     new_pose = se3.oplus(SE3(r=states.r_WS, q=states.q_WS), d_states[:, :6] * sm)
     new_sb = states.speed_and_bias + d_states[:, 6:15] * sm
-    d_ext = delta_d[S * 15:].reshape(C, 6)
+    d_ext = delta_d[S * 15 : S * 15 + C * 6].reshape(C, 6)
     new_ext = se3.oplus(SE3(r=states.r_SC, q=states.q_SC), d_ext)
     lm_f = lm_mask.astype(delta_d.dtype)[:, None]
     new_hp = states.hp_W.at[:, :3].add(delta_l * lm_f)
+    r_SC_t, q_SC_t = states.r_SC_t, states.q_SC_t
+    if cfg.extrinsics_per_state:
+        d_ps = delta_d[S * 15 + C * 6 :].reshape(S * C, 6)
+        new_ps = se3.oplus(
+            SE3(r=states.r_SC_t.reshape(S * C, 3), q=states.q_SC_t.reshape(S * C, 4)),
+            d_ps,
+        )
+        r_SC_t = new_ps.r.reshape(S, C, 3)
+        q_SC_t = new_ps.q.reshape(S, C, 4)
     return WindowStates(
         r_WS=new_pose.r,
         q_WS=new_pose.q,
@@ -218,6 +234,8 @@ def apply_update(
         r_SC=new_ext.r,
         q_SC=new_ext.q,
         hp_W=new_hp,
+        r_SC_t=r_SC_t,
+        q_SC_t=q_SC_t,
     )
 
 

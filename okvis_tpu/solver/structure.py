@@ -10,8 +10,12 @@ in the estimator, mirroring ceres::Map's id↔block maps.
 Minimal-coordinate layout of the dense parameter vector (dimension D):
     state i   : [δp δα]      at i*15 .. i*15+6
                 [δv δbg δba] at i*15+6 .. (i+1)*15
-    camera c  : [δp δα]_SC   at S*15 + c*6      (online extrinsics calib)
-    D = S*15 + C*6
+    camera c  : [δp δα]_SC   at S*15 + c*6      (online extrinsics calib,
+                                                 one block shared by all states)
+    per-state extrinsics (temporal calibration, extrinsics_per_state=True —
+    ref per-state T_SCi blocks, Estimator.cpp:199-218):
+    (i, c)    : [δp δα]_SC   at S*15 + C*6 + (i*C + c)*6
+    D = S*15 + C*6 (+ S*C*6 when per-state)
 
 Landmarks are L slots of 3 minimal dims (Euclidean perturbation of the
 homogeneous point's first three components, matching the reference
@@ -49,6 +53,20 @@ class WindowConfig:
     max_sb_priors: int = 2
     camera_specs: Tuple[CameraSpec, ...] = ()
     estimate_extrinsics: bool = False
+    # temporally varying extrinsics: one T_SC block per (state, camera),
+    # consecutive blocks linked by RelativePoseError drift factors
+    # (ref Estimator.cpp:199-218, 306-340; enabled when both
+    # sigma_c_relative_* > 0). Implies estimate_extrinsics semantics for the
+    # per-state blocks; the shared C*6 block is then masked out.
+    extrinsics_per_state: bool = False
+    sigma_c_relative_translation: float = 0.0  # drift densities [m/sqrt(s)],
+    sigma_c_relative_orientation: float = 0.0  # [rad/sqrt(s)] (Parameters.hpp:60-80)
+    # absolute extrinsics prior sigmas (first-frame PoseError on T_SC when
+    # both > 0, Estimator.cpp:287-307; ~0 in per-state mode sets the first
+    # block quasi-constant via a stiff gauge prior). Only consumed by the
+    # per-state path; shared-block calibration uses add_extrinsics_prior().
+    sigma_absolute_translation: float = 0.0
+    sigma_absolute_orientation: float = 0.0
     max_iterations: int = 10
     min_iterations: int = 3
     cauchy_scale: float = 1.0  # reference uses CauchyLoss(1)
@@ -59,13 +77,29 @@ class WindowConfig:
 
     @property
     def dense_dim(self) -> int:
-        return self.num_states * 15 + self.num_cameras * 6
+        d = self.num_states * 15 + self.num_cameras * 6
+        if self.extrinsics_per_state:
+            d += self.num_states * self.num_cameras * 6
+        return d
+
+    @property
+    def ext_link_capacity(self) -> int:
+        """Relative-extrinsics drift links: one per (IMU link, camera)."""
+        return max(1, self.max_imu_links * self.num_cameras)
 
     def state_offset(self, i: int) -> int:
         return i * 15
 
     def ext_offset(self, c: int) -> int:
         return self.num_states * 15 + c * 6
+
+    def ext_ps_offset(self, i: int, c: int) -> int:
+        """Dense offset of state i's camera-c extrinsics block (per-state)."""
+        return (
+            self.num_states * 15
+            + self.num_cameras * 6
+            + (i * self.num_cameras + c) * 6
+        )
 
 
 class WindowStates(NamedTuple):
@@ -77,6 +111,9 @@ class WindowStates(NamedTuple):
     r_SC: jnp.ndarray  # (C, 3)
     q_SC: jnp.ndarray  # (C, 4)
     hp_W: jnp.ndarray  # (L, 4)
+    # per-state extrinsics (used only when cfg.extrinsics_per_state)
+    r_SC_t: jnp.ndarray = None  # (S, C, 3)
+    q_SC_t: jnp.ndarray = None  # (S, C, 4)
 
     def pose(self, i) -> SE3:
         return SE3(r=self.r_WS[i], q=self.q_WS[i])
@@ -103,6 +140,18 @@ class ImuLinks(NamedTuple):
     idx_a: jnp.ndarray  # (K,) int32
     idx_b: jnp.ndarray  # (K,) int32
     mask: jnp.ndarray  # (K,) bool
+
+
+class ExtLinks(NamedTuple):
+    """Padded relative-extrinsics drift factors between consecutive states'
+    per-state T_SC blocks (ref RelativePoseError links with variance
+    sigma_c²·dt, Estimator.cpp:306-340)."""
+
+    idx_a: jnp.ndarray  # (Ke,) int32 — older state's window slot
+    idx_b: jnp.ndarray  # (Ke,) int32 — newer state's window slot
+    cam: jnp.ndarray  # (Ke,) int32
+    sqrt_info: jnp.ndarray  # (Ke, 6, 6)
+    mask: jnp.ndarray  # (Ke,) bool
 
 
 class PosePriors(NamedTuple):
@@ -136,6 +185,9 @@ class MargPrior(NamedTuple):
     r_SC_lin: jnp.ndarray  # (C, 3)
     q_SC_lin: jnp.ndarray  # (C, 4)
     valid: jnp.ndarray  # scalar bool
+    # per-state extrinsics FEJ points (only when cfg.extrinsics_per_state)
+    r_SC_t_lin: jnp.ndarray = None  # (S, C, 3)
+    q_SC_t_lin: jnp.ndarray = None  # (S, C, 4)
 
 
 class BaProblem(NamedTuple):
@@ -151,6 +203,7 @@ class BaProblem(NamedTuple):
     pose_priors: PosePriors
     sb_priors: SbPriors
     marg: MargPrior
+    ext_links: ExtLinks = None  # only when cfg.extrinsics_per_state
 
 
 def empty_problem(cfg: WindowConfig, dtype=jnp.float64) -> BaProblem:
@@ -163,6 +216,7 @@ def empty_problem(cfg: WindowConfig, dtype=jnp.float64) -> BaProblem:
     def q_of(n):
         return jnp.tile(qid, (n, 1))
 
+    per_state = cfg.extrinsics_per_state
     states = WindowStates(
         r_WS=jnp.zeros((S, 3), dtype),
         q_WS=q_of(S),
@@ -170,6 +224,8 @@ def empty_problem(cfg: WindowConfig, dtype=jnp.float64) -> BaProblem:
         r_SC=jnp.zeros((C, 3), dtype),
         q_SC=q_of(C),
         hp_W=jnp.zeros((L, 4), dtype).at[:, 3].set(1.0),
+        r_SC_t=jnp.zeros((S, C, 3), dtype) if per_state else None,
+        q_SC_t=jnp.tile(qid[None], (S, C, 1)) if per_state else None,
     )
     P = cfg.imu_samples
     pre = PreintegratedImu(
@@ -228,5 +284,18 @@ def empty_problem(cfg: WindowConfig, dtype=jnp.float64) -> BaProblem:
             r_SC_lin=jnp.zeros((C, 3), dtype),
             q_SC_lin=q_of(C),
             valid=jnp.asarray(False),
+            r_SC_t_lin=jnp.zeros((S, C, 3), dtype) if per_state else None,
+            q_SC_t_lin=jnp.tile(qid[None], (S, C, 1)) if per_state else None,
+        ),
+        ext_links=(
+            ExtLinks(
+                idx_a=jnp.zeros((cfg.ext_link_capacity,), jnp.int32),
+                idx_b=jnp.ones((cfg.ext_link_capacity,), jnp.int32),
+                cam=jnp.zeros((cfg.ext_link_capacity,), jnp.int32),
+                sqrt_info=jnp.zeros((cfg.ext_link_capacity, 6, 6), dtype),
+                mask=jnp.zeros((cfg.ext_link_capacity,), bool),
+            )
+            if per_state
+            else None
         ),
     )

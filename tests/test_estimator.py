@@ -107,6 +107,135 @@ def test_estimator_long_run():
     assert est.num_frames() == 8  # 5 keyframes + 3 imu frames
 
 
+def _run_estimator_case(cfg_kwargs, n_frames=9, rig=None, est_rig=None,
+                        seed=5, pixel_noise=0.6):
+    """Shared driver for the extrinsics-configuration sweep: synthetic
+    trajectory + landmark observations through `rig` (truth), estimated with
+    `est_rig` (nominal; equals truth unless testing calibration recovery).
+    Returns (estimator, final pos err, final ang err, last state id, traj, idx)."""
+    rng = np.random.default_rng(seed)
+    rig = rig or make_rig()
+    est_rig = est_rig or rig
+    traj = simulate_trajectory(duration=1.2, seed=3, motion_scale=0.6)
+    lms = make_landmarks(traj, 120, seed=4, radius=(3.0, 9.0))
+    cfg = WindowConfig(
+        num_states=9, num_cameras=2, max_landmarks=256, max_observations=1024,
+        imu_samples=32, max_imu_links=8, camera_specs=tuple(est_rig.specs),
+        max_iterations=5, **cfg_kwargs,
+    )
+    est = Estimator(est_rig, ImuParams.euroc(), num_keyframes=5,
+                    num_imu_frames=3, cfg=cfg)
+    imu_rate = 200
+    sid = idx = None
+    for fi in range(n_frames):
+        t = fi * 0.1
+        idx = int(round(t * imu_rate))
+        lo, hi = max(0, idx - 24), min(len(traj.ts), idx + 5)
+        sid = est.add_states(
+            t, traj.ts[lo:hi], traj.gyro[lo:hi], traj.acc[lo:hi],
+            as_keyframe=(fi % 2 == 0),
+        )
+        T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        for li, p_W in enumerate(lms):
+            vis = []
+            for c in range(2):
+                # observations generated with the TRUE rig
+                T_CW = kin.inverse(kin.compose(T_WS_true, rig.camera_T_SC(c)))
+                p_C = kin.transform_point(T_CW, jnp.asarray(p_W))
+                uv, flags = pinhole.project(rig.specs[c], est.intrinsics[c], p_C)
+                if int(flags) == pinhole.STATUS_OK:
+                    vis.append((c, np.asarray(uv)))
+            if len(vis) < 2:
+                continue
+            lm_id = 10_000 + li
+            if not est.is_landmark_added(lm_id):
+                est.add_landmark(lm_id, p_W + rng.normal(0, 0.05, 3))
+            for c, uv in vis:
+                est.add_observation(
+                    lm_id, sid, c, uv + rng.normal(0, pixel_noise, 2),
+                    keypoint_idx=li, size=8.0,
+                )
+        est.optimize()
+        est.apply_marginalization_strategy()
+    T_est = est.get_T_WS(sid)
+    pos_err = float(np.linalg.norm(np.asarray(T_est.r) - traj.r[idx]))
+    dq = kin.quat_multiply(kin.quat_conjugate(T_est.q), jnp.asarray(traj.q[idx]))
+    ang_err = 2 * np.arccos(min(1.0, abs(float(dq[3]))))
+    return est, pos_err, ang_err, sid, traj, idx
+
+
+@pytest.mark.slow
+def test_extrinsics_configuration_sweep():
+    """The reference TestEstimator sweeps four extrinsics-estimation modes
+    (TestEstimator.cpp:56,106-114: absolute sigmas × relative sigmas on/off);
+    every mode must converge within the reference tolerances 0.1 m / 1e-2 rad
+    (TestEstimator.cpp:229-236) through optimize + marginalization."""
+    cases = {
+        "fixed": dict(),
+        "absolute": dict(estimate_extrinsics=True),
+        "relative": dict(
+            extrinsics_per_state=True,
+            sigma_c_relative_translation=1e-6,
+            sigma_c_relative_orientation=1e-6,
+        ),
+        "absolute+relative": dict(
+            extrinsics_per_state=True,
+            sigma_c_relative_translation=1e-4,
+            sigma_c_relative_orientation=1e-5,
+            sigma_absolute_translation=1e-3,
+            sigma_absolute_orientation=1e-4,
+        ),
+    }
+    for name, kw in cases.items():
+        est, pos_err, ang_err, sid, _, _ = _run_estimator_case(kw)
+        assert pos_err < 0.1, f"{name}: position error {pos_err}"
+        assert ang_err < 1e-2, f"{name}: orientation error {ang_err}"
+        if kw.get("extrinsics_per_state"):
+            # per-state blocks exist, carry drift links, and stay at the
+            # true calibration (observations were generated with it)
+            assert est.ext_links, f"{name}: no relative extrinsics links"
+            slot = est.states[sid].slot
+            true_r = np.asarray(est.rig.T_SC.r)
+            assert np.abs(est.r_SC_t[slot] - true_r).max() < 5e-3, name
+            # window stays bounded with the extra blocks
+            assert est.num_frames() <= 8
+
+
+def test_per_state_extrinsics_recover_offset():
+    """Per-state calibration recovers a static extrinsics offset: the
+    estimator starts from a nominal T_SC 4 mm off the truth and the
+    per-state blocks must move toward the true value (the temporal analog
+    of the shared-block online-calibration test)."""
+    rig = make_rig()
+    # estimator believes a perturbed extrinsics for camera 1
+    r_bad = np.asarray(rig.T_SC.r).copy()
+    r_bad[1] += np.asarray([0.004, -0.003, 0.002])
+    from okvis_tpu.cameras import NCameraSystem
+
+    est_rig = NCameraSystem(
+        specs=rig.specs,
+        T_SC=kin.SE3(r=jnp.asarray(r_bad), q=rig.T_SC.q),
+        intrinsics=rig.intrinsics,
+    )
+    est, pos_err, _, sid, _, _ = _run_estimator_case(
+        dict(
+            extrinsics_per_state=True,
+            sigma_c_relative_translation=1e-3,
+            sigma_c_relative_orientation=1e-4,
+            sigma_absolute_translation=0.05,
+            sigma_absolute_orientation=0.01,
+        ),
+        rig=rig,
+        est_rig=est_rig,
+        pixel_noise=0.3,
+    )
+    slot = est.states[sid].slot
+    err0 = np.linalg.norm(r_bad[1] - np.asarray(rig.T_SC.r)[1])
+    err1 = np.linalg.norm(est.r_SC_t[slot, 1] - np.asarray(rig.T_SC.r)[1])
+    assert err1 < 0.5 * err0, f"calibration did not improve: {err0} -> {err1}"
+    assert pos_err < 0.1
+
+
 def test_estimator_first_frame_initialization():
     rig = make_rig()
     est = Estimator(rig, ImuParams.euroc())

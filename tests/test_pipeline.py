@@ -452,6 +452,42 @@ def test_long_soak_capacities_bounded():
     assert ate is not None and ate < 0.1, f"soak ATE {ate}"
 
 
+def test_per_state_extrinsics_config_wiring():
+    """Nonzero sigma_c_relative_* must switch the pipeline's estimator into
+    per-state (temporally varying) extrinsics mode — previously a silent
+    no-op (VERDICT r1). A single nonzero relative sigma warns instead."""
+    import logging
+
+    params = _make_params()
+    params.camera_params.sigma_c_relative_translation = 1e-4
+    params.camera_params.sigma_c_relative_orientation = 1e-5
+    params.camera_params.sigma_absolute_translation = 0.05
+    params.camera_params.sigma_absolute_orientation = 0.02
+    vio = ThreadedVio(params, blocking=True, dtype=jnp.float64)
+    cfg = vio.estimator.cfg
+    assert cfg.extrinsics_per_state
+    assert cfg.sigma_c_relative_translation == 1e-4
+    assert cfg.sigma_absolute_translation == 0.05
+    assert cfg.dense_dim == cfg.num_states * 15 + cfg.num_cameras * 6 * (
+        1 + cfg.num_states
+    )
+    vio.shutdown()
+
+    params2 = _make_params()
+    params2.camera_params.sigma_c_relative_translation = 1e-4  # orientation 0
+    import io
+
+    h = logging.StreamHandler(io.StringIO())
+    logging.getLogger("okvis_tpu").addHandler(h)
+    try:
+        vio2 = ThreadedVio(params2, blocking=True, dtype=jnp.float64)
+        assert not vio2.estimator.cfg.extrinsics_per_state
+        assert "sigma_c_relative" in h.stream.getvalue()
+        vio2.shutdown()
+    finally:
+        logging.getLogger("okvis_tpu").removeHandler(h)
+
+
 @pytest.mark.slow
 def test_online_extrinsics_calibration_pipeline():
     """BASELINE.json config 4 at pipeline level: the config's
