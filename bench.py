@@ -79,14 +79,35 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "ba_window_optimize_frames_per_s",
+                "metric": "ba_window_optimize_steps_per_s",
                 "value": round(frames_per_s, 2),
-                "unit": "frames/s/chip",
+                "unit": "optimize steps/s/chip",
                 "vs_baseline": round(frames_per_s / baseline, 3),
             }
         )
     )
 
 
-if __name__ == "__main__":
+def main_with_pipeline():
+    """Emit BOTH metrics: the full-pipeline frames/s (real vision path,
+    scripts/bench_pipeline) first, then the BA solver-step throughput as the
+    final headline line (the driver parses the last JSON line).
+
+    Set OKVIS_BENCH_SKIP_PIPELINE=1 to run only the BA bench."""
+    if os.environ.get("OKVIS_BENCH_SKIP_PIPELINE", "") != "1":
+        try:
+            import sys
+
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+            )
+            from bench_pipeline import run_pipeline_bench
+
+            run_pipeline_bench(n_frames=35)
+        except Exception as e:  # the headline BA metric must still print
+            print(f"pipeline bench failed: {e!r}")
     main()
+
+
+if __name__ == "__main__":
+    main_with_pipeline()

@@ -180,6 +180,11 @@ class Estimator:
         self._jit_cache: Dict[str, object] = {}
         self._mesh = None  # set by enable_distributed()
         self._n_shards = 1
+        # deferred addStates propagation: (slot, T_WS device, sb device) not
+        # yet committed to the numpy tables — fetched together with the next
+        # association launch (fetch_with_pending) so addStates itself never
+        # blocks on the device
+        self._pending_prop: Optional[Tuple[int, SE3, jnp.ndarray]] = None
 
     def add_extrinsics_prior(
         self, sigma_translation: float, sigma_orientation: float
@@ -352,11 +357,18 @@ class Estimator:
         imu_acc: np.ndarray,
         as_keyframe: bool = False,
         frame_id: Optional[int] = None,
+        defer_fetch: bool = False,
     ) -> int:
         """Create a new window state at `timestamp` from IMU propagation.
 
         imu_* must cover [previous state time, timestamp] (the pipeline slices
-        with ±0.02 s overlap, ThreadedKFVio.cpp:663-697)."""
+        with ±0.02 s overlap, ThreadedKFVio.cpp:663-697).
+
+        defer_fetch: leave the propagated pose/speed-bias on device (fetched
+        by the next fetch_with_pending / resolve_pending_prop instead of
+        blocking here) — pipeline latency optimization; the numpy tables for
+        this state are stale until then."""
+        self.resolve_pending_prop()
         state_id = frame_id if frame_id is not None else IdProvider.new_id()
         if not self.states:
             T_WS = init_pose_from_imu(jnp.asarray(imu_acc.mean(axis=0), dtype=self.dtype))
@@ -381,7 +393,13 @@ class Estimator:
                 jnp.asarray(last.timestamp, dtype=self.dtype),
                 jnp.asarray(timestamp, dtype=self.dtype),
             )
-            sb = np.asarray(sb_j)
+            if defer_fetch:
+                sb = None
+            else:
+                from ..utils import syncstats
+
+                syncstats.bump("propagate_fetch")
+                sb = np.asarray(sb_j)
 
         if not self._free_state_slots:
             raise RuntimeError("window full — call apply_marginalization_strategy")
@@ -390,9 +408,13 @@ class Estimator:
             id=state_id, timestamp=float(timestamp), slot=slot, is_keyframe=as_keyframe
         )
         self.states[state_id] = rec
-        self.r_WS[slot] = np.array(T_WS.r)
-        self.q_WS[slot] = np.array(T_WS.q)
-        self.sb[slot] = sb
+        if sb is None:
+            # device-resident until the next fused fetch; numpy rows stale
+            self._pending_prop = (slot, T_WS, sb_j)
+        else:
+            self.r_WS[slot] = np.array(T_WS.r)
+            self.q_WS[slot] = np.array(T_WS.q)
+            self.sb[slot] = sb
 
         if self.cfg.extrinsics_per_state:
             # a fresh per-state extrinsics block for this state, initialized
@@ -485,6 +507,52 @@ class Estimator:
                     )
                 )
         return state_id
+
+    # ------------------------------------------------------------------
+    # deferred-propagation plumbing (pipeline latency: addStates never
+    # blocks; the fetch rides the association launch's device_get)
+    # ------------------------------------------------------------------
+    def resolve_pending_prop(self) -> None:
+        """Commit a deferred addStates propagation to the numpy tables."""
+        if self._pending_prop is None:
+            return
+        from ..utils import syncstats
+
+        syncstats.bump("resolve_prop")
+        slot, T, sb_j = self._pending_prop
+        self._pending_prop = None
+        r, q, sbv = jax.device_get((T.r, T.q, sb_j))
+        self.r_WS[slot] = np.asarray(r, np.float64)
+        self.q_WS[slot] = np.asarray(q, np.float64)
+        self.sb[slot] = np.asarray(sbv, np.float64)
+
+    def fetch_with_pending(self, tree):
+        """device_get `tree`, committing any deferred propagation in the SAME
+        blocking sync (one host↔device round trip instead of two)."""
+        from ..utils import syncstats
+
+        syncstats.bump("associate_fetch")
+        if self._pending_prop is None:
+            return jax.device_get(tree)
+        slot, T, sb_j = self._pending_prop
+        self._pending_prop = None
+        res, (r, q, sbv) = jax.device_get((tree, (T.r, T.q, sb_j)))
+        self.r_WS[slot] = np.asarray(r, np.float64)
+        self.q_WS[slot] = np.asarray(q, np.float64)
+        self.sb[slot] = np.asarray(sbv, np.float64)
+        return res
+
+    def last_prop_device(self) -> Tuple[SE3, "jnp.ndarray"]:
+        """(T_WS, speed_and_bias) of the newest state — device values when a
+        deferred propagation is pending, numpy-backed otherwise."""
+        if self._pending_prop is not None:
+            _slot, T, sb_j = self._pending_prop
+            return T, sb_j
+        s = self._last_state()
+        return (
+            SE3(r=jnp.asarray(self.r_WS[s.slot]), q=jnp.asarray(self.q_WS[s.slot])),
+            jnp.asarray(self.sb[s.slot]),
+        )
 
     @staticmethod
     def _pad_imu(ts, gyro, acc, P):
@@ -583,6 +651,7 @@ class Estimator:
         Numpy-first: every field is built as one host array and converted with
         a single jnp.asarray (one transfer per field) — no per-element device
         dispatches on the per-frame path."""
+        self.resolve_pending_prop()
         cfg = self.cfg
         dt = self.dtype
         S, C, L, O = (
@@ -811,31 +880,42 @@ class Estimator:
     # optimize (ref Estimator::optimize, Estimator.cpp:842-906)
     # ------------------------------------------------------------------
     def optimize(self, max_iterations: Optional[int] = None, verbose: bool = False):
+        from ..utils import syncstats
+
         problem = self._build_problem()
         states, diag = self._optimize_fn(max_iterations)(problem)
-        # pull back results
-        self.r_WS = np.array(states.r_WS)
-        self.q_WS = np.array(states.q_WS)
-        self.sb = np.array(states.speed_and_bias)
-        self.hp_W = np.array(states.hp_W)
+        # pull back results in ONE blocking fetch (each separate np.array of
+        # a device value is its own host↔device round trip)
+        pulls = [states.r_WS, states.q_WS, states.speed_and_bias, states.hp_W]
         if self.cfg.extrinsics_per_state:
-            self.r_SC_t = np.array(states.r_SC_t)
-            self.q_SC_t = np.array(states.q_SC_t)
+            pulls += [states.r_SC_t, states.q_SC_t]
+        elif self.cfg.estimate_extrinsics:
+            pulls += [states.r_SC, states.q_SC]
+        # landmark quality (Estimator.cpp:880-900): single-device solves
+        # carry it out of the final normal equations (no extra evaluate);
+        # the sharded path keeps the separate pass (H_ll is shard-local)
+        extra_quality = diag.landmark_quality is None
+        if not extra_quality:
+            pulls.append(diag.landmark_quality)
+        syncstats.bump("optimize_fetch")
+        fetched = [np.array(x) for x in jax.device_get(pulls)]
+        self.r_WS, self.q_WS, self.sb, self.hp_W = fetched[:4]
+        i = 4
+        if self.cfg.extrinsics_per_state:
+            self.r_SC_t, self.q_SC_t = fetched[i], fetched[i + 1]
+            i += 2
             # mirror the newest state's calibration into the shared tables
             # the frontend reads (freshest estimate for projection/gating)
             newest = self._last_state()
             self.r_SC = self.r_SC_t[newest.slot].copy()
             self.q_SC = self.q_SC_t[newest.slot].copy()
         elif self.cfg.estimate_extrinsics:
-            self.r_SC = np.array(states.r_SC)
-            self.q_SC = np.array(states.q_SC)
-        # landmark quality (Estimator.cpp:880-900)
-        # single-device solves carry the quality out of the final normal
-        # equations (no extra evaluate/dispatch); the sharded path keeps the
-        # separate pass (H_ll is shard-local inside its shard_map)
-        if diag.landmark_quality is not None:
-            quality = np.asarray(diag.landmark_quality)
+            self.r_SC, self.q_SC = fetched[i], fetched[i + 1]
+            i += 2
+        if not extra_quality:
+            quality = fetched[i]
         else:
+            syncstats.bump("lmq_fetch")
             quality = np.asarray(
                 self._landmark_quality_fn(problem._replace(states=states))
             )
@@ -858,6 +938,7 @@ class Estimator:
     # ------------------------------------------------------------------
     def apply_marginalization_strategy(self) -> List[int]:
         """Returns ids of removed landmarks."""
+        self.resolve_pending_prop()
         by_time = self._states_by_time()
         if len(by_time) <= self.num_imu_frames:
             return []
@@ -1253,18 +1334,22 @@ class Estimator:
     # getters/setters (ref Estimator.hpp:424-556)
     # ------------------------------------------------------------------
     def get_T_WS(self, state_id: int) -> kin.SE3:
+        self.resolve_pending_prop()
         s = self.states[state_id]
         return kin.SE3(r=jnp.asarray(self.r_WS[s.slot]), q=jnp.asarray(self.q_WS[s.slot]))
 
     def set_T_WS(self, state_id: int, T: kin.SE3) -> None:
+        self.resolve_pending_prop()
         s = self.states[state_id]
         self.r_WS[s.slot] = np.asarray(T.r)
         self.q_WS[s.slot] = np.asarray(T.q)
 
     def get_speed_and_bias(self, state_id: int) -> np.ndarray:
+        self.resolve_pending_prop()
         return self.sb[self.states[state_id].slot].copy()
 
     def set_speed_and_bias(self, state_id: int, sb: np.ndarray) -> None:
+        self.resolve_pending_prop()
         self.sb[self.states[state_id].slot] = np.asarray(sb)
 
     def get_landmark(self, lm_id: int) -> np.ndarray:
@@ -1329,6 +1414,7 @@ class Estimator:
         the checkpointed keyframes."""
         import pickle
 
+        self.resolve_pending_prop()
         blob = {k: getattr(self, k) for k in self._CKPT_FIELDS}
         # marginal prior may be device-resident — materialize for pickling
         blob["marg_H"] = np.asarray(blob["marg_H"])

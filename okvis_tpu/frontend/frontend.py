@@ -166,17 +166,24 @@ class Frontend:
                 max_keypoints=self.cfg.max_keypoints,
             )
             sizes_np = None
+        # one joint host fetch for all cameras' uv/mask mirrors — the
+        # association path reads them many times; done HERE so the transfer
+        # overlaps the processing thread (detection runs in its own stage)
+        from ..utils import syncstats
+
+        syncstats.bump("detect_fetch")
+        uv_h, mask_h = jax.device_get((kps_b.uv, kps_b.mask))
         out = []
         for c in range(C):
-            out.append(
-                FrameData(
-                    keypoints=jax.tree_util.tree_map(lambda x: x[c], kps_b),
-                    descriptors=desc_b[c],
-                    landmark_ids=np.zeros(self.cfg.max_keypoints, np.int64),
-                    image=stack[c],
-                    sizes=None if sizes_np is None else sizes_np[c],
-                )
+            fd = FrameData(
+                keypoints=jax.tree_util.tree_map(lambda x: x[c], kps_b),
+                descriptors=desc_b[c],
+                landmark_ids=np.zeros(self.cfg.max_keypoints, np.int64),
+                image=stack[c],
+                sizes=None if sizes_np is None else sizes_np[c],
             )
+            fd.set_host_mirrors(uv_h[c], mask_h[c])
+            out.append(fd)
         return out
 
     # ------------------------------------------------------------------
@@ -193,6 +200,7 @@ class Frontend:
         estimator: Estimator,
         T_WS_prop: kin.SE3,
         multiframe: MultiFrame,
+        sb_prop: Optional[np.ndarray] = None,
     ) -> bool:
         """Match current multiframe against keyframes/last frame/stereo and
         feed the estimator. Returns as_keyframe decision."""
@@ -213,33 +221,71 @@ class Frontend:
             kf_mf = estimator.multiframes.get(kf_id)
             if kf_mf is not None:
                 sources.append(kf_mf)
+        n_primary = len(sources)
+
+        # the LAST FRAME rides the SAME fused launch as the lowest-priority
+        # source (matchToLastFrame, Frontend.cpp:199-233): the reference
+        # matches it sequentially AFTER the keyframe decision, which only
+        # matters for claim priority and the decision's inputs — both
+        # reproduced on the host by resolving keyframe sources first, taking
+        # the decision, then resolving the last-frame source. Folding it
+        # removes one blocking device round trip per frame. During bootstrap
+        # (not initialized) the decision must see the 2D-2D-RANSAC
+        # initialization flip first (ref ordering, Frontend.cpp:184-196), so
+        # the fold only engages once tracking is initialized.
+        by_time = estimator._states_by_time()
+        last_mf = None
+        if len(by_time) >= 2 and by_time[-2].id not in kf_ids:
+            last_mf = estimator.multiframes.get(by_time[-2].id)
+        fold_last = self.is_initialized and last_mf is not None
+        if fold_last:
+            sources.append(last_mf)
 
         # uniform-model rigs carry the intra-frame stereo matching inside the
-        # keyframe-association launch (stereo=True); its results are resolved
-        # after the last-frame round (below) via _pending_stereo
+        # association launch (stereo=True); its results are resolved after
+        # the last-frame phase via _pending_stereo
         self._pending_stereo = None
+
+        def keyframe_decision():
+            # --- keyframe decision (Frontend.cpp:196), taken after the
+            # keyframe sources resolved and before the last-frame phase ---
+            kps, matched = [], []
+            for f in multiframe.frames:
+                m = f.mask_np
+                kps.append(f.uv_np[m])
+                matched.append((f.landmark_ids[: len(m)][m] != 0))
+            return need_new_keyframe(
+                kps,
+                matched,
+                overlap_threshold=cfg.keyframe_overlap,
+                ratio_threshold=cfg.keyframe_ratio,
+                num_frames=estimator.num_frames(),
+                is_initialized=self.is_initialized,
+            )
+
         # RANSAC outlier removal is gated on isInitialized_ for the keyframe
         # round (ref Frontend.cpp:434-436) — bootstrap-phase stereo
         # associations must not be stripped before initialization
-        num_3d2d = (
-            self._associate_batched(
+        as_keyframe = None
+        if sources:
+            num_3d2d, as_keyframe = self._associate_batched(
                 estimator, sources, multiframe, T_WS_prop,
                 apply_ransac=self.is_initialized,
                 stereo=True,
+                n_primary=n_primary,
+                phase_callback=keyframe_decision if fold_last else None,
+                sb_b=sb_prop,
             )
-            if sources
-            else 0
-        )
-        if sources and self.is_initialized and num_3d2d <= cfg.min_3d2d_matches:
+        else:
+            num_3d2d = 0
+            estimator.resolve_pending_prop()
+        if n_primary and self.is_initialized and num_3d2d <= cfg.min_3d2d_matches:
             # ref "Tracking failure" warning (Frontend.cpp:191-193)
             import logging
 
             logging.getLogger("okvis_tpu").warning(
                 "Tracking failure. Number of 3d2d-matches: %d", num_3d2d
             )
-
-        # 3D-2D RANSAC outlier rejection (Frontend.cpp:575-642) is folded
-        # into the association launch above (apply_ransac=True)
 
         # initialization: 2D-2D RANSAC decides rotation-only vs translation
         # (ref runRansac2d2d, Frontend.cpp:645-810; init flips at :184-189)
@@ -256,33 +302,15 @@ class Frontend:
             # stereo shortcut: metric landmarks already exist
             self.is_initialized = True
 
-        # --- keyframe decision (Frontend.cpp:196) ---
-        kps, matched = [], []
-        for f in multiframe.frames:
-            m = np.asarray(f.keypoints.mask)
-            kps.append(np.asarray(f.keypoints.uv)[m])
-            matched.append((f.landmark_ids[: len(m)][m] != 0))
-        as_keyframe = need_new_keyframe(
-            kps,
-            matched,
-            overlap_threshold=cfg.keyframe_overlap,
-            ratio_threshold=cfg.keyframe_ratio,
-            num_frames=estimator.num_frames(),
-            is_initialized=self.is_initialized,
-        )
+        if as_keyframe is None:
+            as_keyframe = keyframe_decision()
 
-        # --- match to last frame (after the keyframe decision,
-        # Frontend.cpp:199-233) ---
-        by_time = estimator._states_by_time()
-        if len(by_time) >= 2 and by_time[-2].id not in kf_ids:
-            last_mf = estimator.multiframes.get(by_time[-2].id)
-            if last_mf is not None:
-                # matchToLastFrame also runs runRansac3d2d with outlier
-                # removal (removeOutliers defaults true, Frontend.hpp:364-368)
-                self._associate_batched(
-                    estimator, [last_mf], multiframe, T_WS_prop,
-                    apply_ransac=True,
-                )
+        # bootstrap fallback: last frame matched in its own (sequential)
+        # round after the decision, exactly the reference ordering
+        if not fold_last and last_mf is not None:
+            self._associate_batched(
+                estimator, [last_mf], multiframe, T_WS_prop, apply_ransac=True,
+            )
 
         # --- stereo matching within the multiframe (Frontend.cpp:238-268):
         # resolved from the fused launch's precomputed results when present,
@@ -313,7 +341,10 @@ class Frontend:
         T_WS_b: kin.SE3,
         apply_ransac: bool = False,
         stereo: bool = False,
-    ) -> int:
+        n_primary: Optional[int] = None,
+        phase_callback=None,
+        sb_b: Optional[np.ndarray] = None,
+    ):
         """3D-2D + 2D-2D association of all source frames against the current
         frame in ONE fused kernel launch for the whole rig (the batched form
         of matchToKeyframes + matchToLastFrame, Frontend.cpp:153-233): gated
@@ -321,6 +352,11 @@ class Frontend:
         triangulation of every 2D-2D match all run in a single XLA program
         (kernels.associate_multicam), fetched with one device_get. Mixed
         camera models fall back to one fused launch per camera.
+
+        Sources [0, n_primary) are the keyframe round; any remaining sources
+        form the folded last-frame round, resolved after `phase_callback`
+        (the keyframe decision) runs. Returns (num 3D-2D keyframe matches,
+        phase_callback result or None).
 
         Conflicts (two sources matching the same current keypoint) are
         resolved on the host in source order — newest keyframe wins; losers
@@ -331,11 +367,10 @@ class Frontend:
         K = cfg.max_keypoints
         P = len(sources)
         C = frame_b.num_cameras
-        n3d = 0
 
         # ---------- build (P, C, ...) inputs for the fused launch ----------
-        mask_b_np = [np.asarray(frame_b.frames[c].keypoints.mask) for c in range(C)]
-        uv_b_all = [np.asarray(frame_b.frames[c].keypoints.uv) for c in range(C)]
+        mask_b_np = [frame_b.frames[c].mask_np for c in range(C)]
+        uv_b_all = [frame_b.frames[c].uv_np for c in range(C)]
         free_b_np = [
             mask_b_np[c] & (frame_b.frames[c].landmark_ids == 0) for c in range(C)
         ]
@@ -357,7 +392,7 @@ class Frontend:
         for p, src in enumerate(sources):
             for c in range(C):
                 fa = src.frames[c]
-                m_a = np.asarray(fa.keypoints.mask)
+                m_a = fa.mask_np
                 for i in np.nonzero(fa.landmark_ids != 0)[0]:
                     lm_id = int(fa.landmark_ids[i])
                     if not estimator.is_landmark_added(lm_id):
@@ -423,25 +458,13 @@ class Frontend:
                     continue  # point at infinity: no metric position
                 sel_prev[c, i] = True
                 pts_prev[c, i] = hp[:3] / hp[3]
-        # velocity-scaled position uncertainty for the chi² gate
-        # (ref doSetup :131-141: σ² = max(1,|v|)²·1e-2 in the IMU window)
-        try:
-            v = estimator.get_speed_and_bias(frame_b.id)[:3]
-            scale = max(1.0, float(np.linalg.norm(v)))
-        except KeyError:
-            scale = 1.0
-        sigma_pos2 = jnp.asarray(scale * scale * 1e-2)
-
-        # transforms built on host (pose state lives in numpy — no device chatter)
+        # source camera poses built on host (SOURCE pose state lives in
+        # numpy — committed by earlier frames); the CURRENT frame's camera
+        # poses and the velocity-scaled gate variance are composed IN-KERNEL
+        # from (T_WS_b, sb_b), so a deferred (still device-resident)
+        # propagation never forces its own blocking fetch.
         from ..kinematics import np_se3
 
-        r_b = np.asarray(T_WS_b.r, np.float64)
-        q_b = np.asarray(T_WS_b.q, np.float64)
-        T_WC_b_list = [
-            np_se3.compose(r_b, q_b, estimator.r_SC[c], estimator.q_SC[c])
-            for c in range(C)
-        ]
-        T_CW_list = [np_se3.inverse(t[0], t[1]) for t in T_WC_b_list]
         src_slots = [estimator.states[src.id].slot for src in sources]
         T_WC_a_list = [
             [
@@ -453,14 +476,6 @@ class Frontend:
             ]
             for s in src_slots
         ]
-        T_CW_j = kin.SE3(
-            r=jnp.asarray(np.stack([t[0] for t in T_CW_list])),
-            q=jnp.asarray(np.stack([t[1] for t in T_CW_list])),
-        )
-        T_WC_b_stk = kin.SE3(
-            r=jnp.asarray(np.stack([t[0] for t in T_WC_b_list])),
-            q=jnp.asarray(np.stack([t[1] for t in T_WC_b_list])),
-        )
         T_WC_a_stk = kin.SE3(
             r=jnp.asarray(np.stack([[t[0] for t in row] for row in T_WC_a_list])),
             q=jnp.asarray(np.stack([[t[1] for t in row] for row in T_WC_a_list])),
@@ -469,6 +484,13 @@ class Frontend:
         T_SC_stk = kin.SE3(
             r=jnp.asarray(estimator.r_SC[:C]), q=jnp.asarray(estimator.q_SC[:C])
         )
+        T_WS_b_j = kin.SE3(r=jnp.asarray(T_WS_b.r), q=jnp.asarray(T_WS_b.q))
+        if sb_b is None:
+            try:
+                sb_b = estimator.get_speed_and_bias(frame_b.id)
+            except KeyError:
+                sb_b = np.zeros(9)
+        sb_b_j = jnp.asarray(sb_b)
         uniform = len(set(self.rig.specs[:C])) == 1
         # intra-frame stereo rides the fused launch only on uniform rigs;
         # mixed rigs fall back to the standalone _match_stereo launch
@@ -484,9 +506,9 @@ class Frontend:
                 jnp.asarray(free2_a),
                 uv_a_j,
                 jnp.asarray(std_a),
-                T_CW_j,
+                T_WS_b_j,
+                sb_b_j,
                 T_WC_a_stk,
-                T_WC_b_stk,
                 desc_b_j,
                 jnp.asarray(np.stack(free_b_np)),
                 uv_b_j,
@@ -494,14 +516,19 @@ class Frontend:
                 jnp.asarray(sel_prev),
                 jnp.asarray(pts_prev),
                 T_SC_stk,
-                sigma_pos2,
                 jnp.asarray(cfg.gate_radius_px),
                 jnp.asarray(cfg.ransac_threshold_px2),
                 threshold=cfg.matching_threshold,
                 stereo_pairs=stereo_pairs,
             )
+            # ONE blocking sync: the association results, the propagated
+            # body state (host copy for the rare recovery round), AND any
+            # deferred addStates propagation in the same device_get
+            out_f, T_b_f, sb_f = estimator.fetch_with_pending(
+                (out, T_WS_b_j, sb_b_j)
+            )
             (assign3_all, assign2_all, hp_all, val_all, par_all, ci_all,
-             rs_inliers, rs_num, _rs_success, stereo_out) = jax.device_get(out)
+             rs_inliers, rs_num, _rs_success, stereo_out) = out_f
             rs_num = np.full(C, int(rs_num))  # rig-pooled count
             if stereo_pairs:
                 # stash the fused stereo results: resolved by the caller
@@ -523,9 +550,9 @@ class Frontend:
                         jnp.asarray(free2_a[:, c]),
                         uv_a_j[:, c],
                         jnp.asarray(std_a[:, c]),
-                        kin.SE3(r=T_CW_j.r[c], q=T_CW_j.q[c]),
+                        T_WS_b_j,
+                        sb_b_j,
                         kin.SE3(r=T_WC_a_stk.r[:, c], q=T_WC_a_stk.q[:, c]),
-                        kin.SE3(r=T_WC_b_stk.r[c], q=T_WC_b_stk.q[c]),
                         desc_b_j[c],
                         jnp.asarray(free_b_np[c]),
                         uv_b_j[c],
@@ -533,13 +560,14 @@ class Frontend:
                         jnp.asarray(sel_prev[c]),
                         jnp.asarray(pts_prev[c]),
                         kin.SE3(r=T_SC_stk.r[c], q=T_SC_stk.q[c]),
-                        sigma_pos2,
                         jnp.asarray(cfg.gate_radius_px),
                         jnp.asarray(cfg.ransac_threshold_px2),
                         threshold=cfg.matching_threshold,
                     )
                 )
-            fetched = jax.device_get(parts)
+            fetched, T_b_f, sb_f = estimator.fetch_with_pending(
+                (parts, T_WS_b_j, sb_b_j)
+            )
             assign3_all = np.stack([f[0] for f in fetched], axis=1)
             assign2_all = np.stack([f[1] for f in fetched], axis=1)
             hp_all = np.stack([f[2] for f in fetched], axis=1)
@@ -585,173 +613,212 @@ class Frontend:
                 dev_lm[c, assign3_all[p, c][hit]] = lm_a_ids[p, c][hit]
         dev_lm = np.where(sel_prev, lids0, dev_lm)
 
-        # ---------- host resolution, camera by camera ----------
-        for cam in range(C):
-            fb = frame_b.frames[cam]
-            uv_b_np = uv_b_all[cam]
-            free_b = free_b_np[cam]
-            assign = assign3_all[:, cam]
-
-            # ---- host conflict resolution, newest source first ----
-            # a landmark may be carried by several source keyframes: once it
-            # claims a current keypoint, later sources carrying the SAME
-            # landmark must not add a second observation of it in this
-            # frame/camera (one measurement per landmark per image)
-            claimed = {int(l) for l in fb.landmark_ids if l != 0}
-
-            def resolve_3d2d(assign_np, collect_losers):
-                nonlocal n3d
-                losers = np.zeros((P, K), bool)
-                for p, src in enumerate(sources):
-                    fa = src.frames[cam]
-                    for ia in np.nonzero(assign_np[p] >= 0)[0]:
-                        lm_id = int(fa.landmark_ids[ia])
-                        if lm_id == 0 or not estimator.is_landmark_added(lm_id):
-                            continue
-                        if lm_id in claimed:
-                            continue  # already observed in this frame/camera
-                        ib = int(assign_np[p, ia])
-                        if not free_b[ib]:
-                            # keypoint taken by an earlier (newer) source
-                            if collect_losers:
-                                losers[p, ia] = True
-                            continue
-                        if not estimator.add_observation(
-                            lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
-                            size=fb.keypoint_size(ib),
-                        ):
-                            continue  # observation table full
-                        frame_b.set_landmark_id(cam, ib, lm_id)
-                        claimed.add(lm_id)
-                        free_b[ib] = False
-                        n3d += 1
-                return losers
-
-            losers = resolve_3d2d(assign, collect_losers=True)
-            # ---- second round: conflict losers re-match against the
-            # remaining free keypoints (the reference's sequential
-            # per-source matching gets this for free; one extra batched
-            # launch restores it, only on frames that had conflicts) ----
-            if losers.any() and free_b.any():
-                T_CW_b = kin.SE3(
-                    r=jnp.tile(T_CW_j.r[cam][None], (P, 1)),
-                    q=jnp.tile(T_CW_j.q[cam][None], (P, 1)),
+        # host copies of the propagated state (fetched with the main sync)
+        # feed the rare loser-recovery round without another device wait
+        r_b_np = np.asarray(T_b_f.r, np.float64)
+        q_b_np = np.asarray(T_b_f.q, np.float64)
+        scale = max(1.0, float(np.linalg.norm(np.asarray(sb_f)[:3])))
+        sigma_pos2 = jnp.asarray(scale * scale * 1e-2)
+        T_CW_host = [
+            np_se3.inverse(
+                *np_se3.compose(
+                    r_b_np, q_b_np, estimator.r_SC[c], estimator.q_SC[c]
                 )
-                assign_r, _ = kernels.gated_match_pairs(
-                    self.rig.specs[cam],
-                    estimator.intrinsics[cam],
-                    desc_a_j[:, cam],
-                    jnp.asarray(losers),
-                    jnp.asarray(hp_rows[:, cam]),
-                    T_CW_b,
-                    fb.descriptors,
-                    jnp.asarray(free_b),
-                    fb.keypoints.uv,
-                    jnp.asarray(std_b[cam]),
-                    sigma_pos2,
-                    jnp.asarray(cfg.gate_radius_px),
-                    threshold=cfg.matching_threshold,
-                )
-                resolve_3d2d(np.asarray(assign_r), collect_losers=False)
+            )
+            for c in range(C)
+        ]
 
-            # ---- 2D-2D: assignments + triangulations precomputed in the
-            # fused launch; resolve conflicts, create landmarks, and upgrade
-            # carried uninitialized landmarks (ref setBestMatch 2D-2D path,
-            # VioKeyframeWindowMatchingAlgorithm.cpp:398-441) ----
-            assign2 = assign2_all[:, cam]
-            taken_b = ~free_b
-            for p, src in enumerate(sources):
-                fa = src.frames[cam]
-                uva = np.asarray(fa.keypoints.uv)
-                for ia in np.nonzero(assign2[p] >= 0)[0]:
-                    ib = int(assign2[p, ia])
-                    if taken_b[ib]:
-                        continue
-                    taken_b[ib] = True  # one landmark per current keypoint
-                    if not val_all[p, cam, ia]:
-                        continue
-                    if fb.landmark_ids[ib] != 0:
-                        continue
-                    hp = hp_all[p, cam, ia]
-                    w = hp[3]
-                    lm_a = int(fa.landmark_ids[ia])
-                    if lm_a != 0:
-                        # source row carries an UNinitialized landmark:
-                        # reuse it — update the estimate if this match
-                        # triangulates with parallax, add the current-frame
-                        # observation (ref :436-441)
-                        if not estimator.is_landmark_added(lm_a):
-                            fa.landmark_ids[ia] = 0
-                        elif lm_a not in claimed:
-                            # device can_init folds parallel + depth
-                            # observability (ref setBestMatch :398-441)
-                            can_init = bool(ci_all[p, cam, ia]) and abs(w) >= 1e-6
-                            if can_init:
-                                estimator.set_landmark(lm_a, hp[:3] / w)
-                                estimator.landmarks[lm_a].initialized = True
-                            if estimator.add_observation(
-                                lm_a, frame_b.id, cam, uv_b_np[ib],
+        # ---------- host resolution, in phases ----------
+        # phase 1 = primary (keyframe) sources, phase 2 = the folded
+        # last-frame source; the keyframe decision (phase_callback) runs in
+        # between, preserving the reference's sequential ordering
+        # (Frontend.cpp:153-233) with ONE device launch.
+        n_primary = P if n_primary is None else n_primary
+        # per-camera state persisting across phases: a landmark may be
+        # carried by several sources — once it claims a current keypoint,
+        # later sources carrying the SAME landmark must not add a second
+        # observation of it in this frame/camera
+        claimed_by_cam = [
+            {int(l) for l in frame_b.frames[c].landmark_ids if l != 0}
+            for c in range(C)
+        ]
+        n3d_primary = 0
+
+        def resolve_phase(p_lo, p_hi, apply_rs):
+            nonlocal n3d_primary
+            for cam in range(C):
+                fb = frame_b.frames[cam]
+                uv_b_np = uv_b_all[cam]
+                free_b = free_b_np[cam]
+                claimed = claimed_by_cam[cam]
+
+                def resolve_3d2d(assign_np, collect_losers):
+                    nonlocal n3d_primary
+                    losers = np.zeros((P, K), bool)
+                    for p in range(p_lo, p_hi):
+                        fa = sources[p].frames[cam]
+                        for ia in np.nonzero(assign_np[p] >= 0)[0]:
+                            lm_id = int(fa.landmark_ids[ia])
+                            if lm_id == 0 or not estimator.is_landmark_added(lm_id):
+                                continue
+                            if lm_id in claimed:
+                                continue  # already observed in this frame/camera
+                            ib = int(assign_np[p, ia])
+                            if not free_b[ib]:
+                                # keypoint taken by an earlier (newer) source
+                                if collect_losers:
+                                    losers[p, ia] = True
+                                continue
+                            if not estimator.add_observation(
+                                lm_id, frame_b.id, cam, uv_b_np[ib],
                                 keypoint_idx=ib, size=fb.keypoint_size(ib),
                             ):
-                                frame_b.set_landmark_id(cam, ib, lm_a)
-                                claimed.add(lm_a)
-                        continue
-                    lm_id = IdProvider.new_id()
-                    try:
-                        if par_all[p, cam, ia] or abs(w) < 1e-6:
-                            estimator.add_landmark(lm_id, hp, initialized=False)
-                        else:
-                            # depth-unobservable points enter uninitialized
-                            # (ref canBeInitialized, setBestMatch :398-441)
-                            estimator.add_landmark(
-                                lm_id, hp[:3] / w,
-                                initialized=bool(ci_all[p, cam, ia]),
-                            )
-                    except RuntimeError:
-                        break  # landmark table full
-                    ok1 = estimator.add_observation(
-                        lm_id, src.id, cam, uva[ia], keypoint_idx=int(ia),
-                        size=fa.keypoint_size(int(ia)),
-                    )
-                    ok2 = ok1 and estimator.add_observation(
-                        lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
-                        size=fb.keypoint_size(ib),
-                    )
-                    if not ok2:
-                        # observation table full: roll back the half-added
-                        # landmark so bookkeeping matches the factor graph
-                        estimator._remove_landmark(lm_id)
-                        break
-                    fa.landmark_ids[ia] = lm_id
-                    frame_b.set_landmark_id(cam, ib, lm_id)
+                                continue  # observation table full
+                            frame_b.set_landmark_id(cam, ib, lm_id)
+                            claimed.add(lm_id)
+                            free_b[ib] = False
+                            if p < n_primary:
+                                # only keyframe matches feed num3dMatches
+                                # (ref Frontend.cpp:153-193)
+                                n3d_primary += 1
+                    return losers
 
-            # ---- apply the folded 3D-2D RANSAC's outlier removals over
-            # this round's candidates AND pre-existing associations, gated
-            # on >=10 rig inliers (ref runRansac3d2d removeOutliers,
-            # Frontend.cpp:613-640) ----
-            if apply_ransac and int(rs_num[cam]) >= 10:
-                cand = assign3_all[:, cam]
-                targets = set(np.unique(cand[cand >= 0]).tolist())
-                targets.update(np.nonzero(sel_prev[cam])[0].tolist())
-                outl = ~rs_inliers[cam]
-                for ib in sorted(targets):
-                    ib = int(ib)
-                    if not outl[ib]:
-                        continue
-                    lm_id = int(fb.landmark_ids[ib])
-                    if lm_id == 0:
-                        continue  # host never resolved this candidate
-                    if lm_id != int(dev_lm[cam, ib]):
-                        # host resolution bound a different landmark than the
-                        # one the device RANSAC scored — the outlier verdict
-                        # does not apply; keep the association (ADVICE r1)
-                        continue
-                    if estimator.is_landmark_added(lm_id):
-                        estimator.remove_observation(
-                            lm_id, frame_b.id, cam, ib
+                losers = resolve_3d2d(assign3_all[:, cam], collect_losers=True)
+                # ---- second round: conflict losers re-match against the
+                # remaining free keypoints (the reference's sequential
+                # per-source matching gets this for free; one extra batched
+                # launch restores it, only on frames that had conflicts) ----
+                if losers.any() and free_b.any():
+                    T_CW_b = kin.SE3(
+                        r=jnp.tile(jnp.asarray(T_CW_host[cam][0])[None], (P, 1)),
+                        q=jnp.tile(jnp.asarray(T_CW_host[cam][1])[None], (P, 1)),
+                    )
+                    assign_r, _ = kernels.gated_match_pairs(
+                        self.rig.specs[cam],
+                        estimator.intrinsics[cam],
+                        desc_a_j[:, cam],
+                        jnp.asarray(losers),
+                        jnp.asarray(hp_rows[:, cam]),
+                        T_CW_b,
+                        fb.descriptors,
+                        jnp.asarray(free_b),
+                        fb.keypoints.uv,
+                        jnp.asarray(std_b[cam]),
+                        sigma_pos2,
+                        jnp.asarray(cfg.gate_radius_px),
+                        threshold=cfg.matching_threshold,
+                    )
+                    resolve_3d2d(np.asarray(assign_r), collect_losers=False)
+
+                # ---- 2D-2D: assignments + triangulations precomputed in the
+                # fused launch; resolve conflicts, create landmarks, and
+                # upgrade carried uninitialized landmarks (ref setBestMatch
+                # 2D-2D path, VioKeyframeWindowMatchingAlgorithm.cpp:398-441) ----
+                assign2 = assign2_all[:, cam]
+                taken_b = ~free_b | (fb.landmark_ids[:K] != 0)
+                for p in range(p_lo, p_hi):
+                    src = sources[p]
+                    fa = src.frames[cam]
+                    uva = fa.uv_np
+                    for ia in np.nonzero(assign2[p] >= 0)[0]:
+                        ib = int(assign2[p, ia])
+                        if taken_b[ib]:
+                            continue
+                        taken_b[ib] = True  # one landmark per current keypoint
+                        if not val_all[p, cam, ia]:
+                            continue
+                        if fb.landmark_ids[ib] != 0:
+                            continue
+                        hp = hp_all[p, cam, ia]
+                        w = hp[3]
+                        lm_a = int(fa.landmark_ids[ia])
+                        if lm_a != 0:
+                            # source row carries an UNinitialized landmark:
+                            # reuse it — update the estimate if this match
+                            # triangulates with parallax, add the
+                            # current-frame observation (ref :436-441)
+                            if not estimator.is_landmark_added(lm_a):
+                                fa.landmark_ids[ia] = 0
+                            elif lm_a not in claimed:
+                                # device can_init folds parallel + depth
+                                # observability (ref setBestMatch :398-441)
+                                can_init = (
+                                    bool(ci_all[p, cam, ia]) and abs(w) >= 1e-6
+                                )
+                                if can_init:
+                                    estimator.set_landmark(lm_a, hp[:3] / w)
+                                    estimator.landmarks[lm_a].initialized = True
+                                if estimator.add_observation(
+                                    lm_a, frame_b.id, cam, uv_b_np[ib],
+                                    keypoint_idx=ib, size=fb.keypoint_size(ib),
+                                ):
+                                    frame_b.set_landmark_id(cam, ib, lm_a)
+                                    claimed.add(lm_a)
+                            continue
+                        lm_id = IdProvider.new_id()
+                        try:
+                            if par_all[p, cam, ia] or abs(w) < 1e-6:
+                                estimator.add_landmark(lm_id, hp, initialized=False)
+                            else:
+                                # depth-unobservable points enter uninitialized
+                                # (ref canBeInitialized, setBestMatch :398-441)
+                                estimator.add_landmark(
+                                    lm_id, hp[:3] / w,
+                                    initialized=bool(ci_all[p, cam, ia]),
+                                )
+                        except RuntimeError:
+                            break  # landmark table full
+                        ok1 = estimator.add_observation(
+                            lm_id, src.id, cam, uva[ia], keypoint_idx=int(ia),
+                            size=fa.keypoint_size(int(ia)),
                         )
-                    frame_b.set_landmark_id(cam, ib, 0)
-        return n3d
+                        ok2 = ok1 and estimator.add_observation(
+                            lm_id, frame_b.id, cam, uv_b_np[ib], keypoint_idx=ib,
+                            size=fb.keypoint_size(ib),
+                        )
+                        if not ok2:
+                            # observation table full: roll back the half-added
+                            # landmark so bookkeeping matches the factor graph
+                            estimator._remove_landmark(lm_id)
+                            break
+                        fa.landmark_ids[ia] = lm_id
+                        frame_b.set_landmark_id(cam, ib, lm_id)
+
+                # ---- apply the folded 3D-2D RANSAC's outlier removals over
+                # this round's candidates AND pre-existing associations,
+                # gated on >=10 rig inliers (ref runRansac3d2d removeOutliers,
+                # Frontend.cpp:613-640). Idempotent: re-running after phase 2
+                # only touches newly bound keypoints. ----
+                if apply_rs and int(rs_num[cam]) >= 10:
+                    cand = assign3_all[:, cam]
+                    targets = set(np.unique(cand[cand >= 0]).tolist())
+                    targets.update(np.nonzero(sel_prev[cam])[0].tolist())
+                    outl = ~rs_inliers[cam]
+                    for ib in sorted(targets):
+                        ib = int(ib)
+                        if not outl[ib]:
+                            continue
+                        lm_id = int(fb.landmark_ids[ib])
+                        if lm_id == 0:
+                            continue  # host never resolved this candidate
+                        if lm_id != int(dev_lm[cam, ib]):
+                            # host resolution bound a different landmark than
+                            # the one the device RANSAC scored — the verdict
+                            # does not apply; keep the association (ADVICE r1)
+                            continue
+                        if estimator.is_landmark_added(lm_id):
+                            estimator.remove_observation(
+                                lm_id, frame_b.id, cam, ib
+                            )
+                        frame_b.set_landmark_id(cam, ib, 0)
+
+        resolve_phase(0, n_primary, apply_ransac)
+        decision = None
+        if phase_callback is not None:
+            decision = phase_callback()
+        if n_primary < P:
+            resolve_phase(n_primary, P, apply_ransac)
+        return n3d_primary, decision
 
     # ------------------------------------------------------------------
     def _frame_T_WC(self, estimator, state_or_T, cam: int) -> kin.SE3:
@@ -777,8 +844,8 @@ class Frontend:
         frame, mixed-spec rigs)."""
         for ca, cb in self._stereo_pairs(multiframe.num_cameras):
             fa, fb = multiframe.frames[ca], multiframe.frames[cb]
-            free_a = np.asarray(fa.keypoints.mask) & (fa.landmark_ids == 0)
-            free_b = np.asarray(fb.keypoints.mask) & (fb.landmark_ids == 0)
+            free_a = fa.mask_np & (fa.landmark_ids == 0)
+            free_b = fb.mask_np & (fb.landmark_ids == 0)
             if not free_a.any() or not free_b.any():
                 continue
             T_WC_a = kin.compose(T_WS, estimator.get_extrinsics(ca))
@@ -791,6 +858,9 @@ class Frontend:
                     else np.full(K, 8.0)
                 )
 
+            from ..utils import syncstats
+
+            syncstats.bump("stereo_standalone")
             assign, hp, valid, par, can_init = jax.device_get(
                 kernels.stereo_match_triangulate(
                     self.rig.specs[ca],
@@ -822,8 +892,8 @@ class Frontend:
         dropping pairs whose keypoints were claimed since (ref setBestMatch
         2D-2D path semantics)."""
         fa, fb = multiframe.frames[ca], multiframe.frames[cb]
-        uva_np = np.asarray(fa.keypoints.uv)
-        uvb_np = np.asarray(fb.keypoints.uv)
+        uva_np = fa.uv_np
+        uvb_np = fb.uv_np
         for ia in np.nonzero((assign >= 0) & valid)[0]:
             ib = int(assign[ia])
             ia = int(ia)
@@ -891,8 +961,8 @@ class Frontend:
             uv_b = np.zeros((K, 2))
             mask = np.zeros(K, bool)
             for j, (ia, ib) in enumerate(pairs[:K]):
-                uv_a[j] = np.asarray(fa.keypoints.uv[ia])
-                uv_b[j] = np.asarray(fb.keypoints.uv[ib])
+                uv_a[j] = fa.uv_np[ia]
+                uv_b[j] = fb.uv_np[ib]
                 mask[j] = True
             spec = self.rig.specs[cam]
             intr = estimator.intrinsics[cam]
@@ -901,6 +971,9 @@ class Frontend:
 
             # one launch: back-project both frames + rotation-only AND
             # relative-pose RANSAC (same key order as the sequential calls)
+            from ..utils import syncstats
+
+            syncstats.bump("ransac2d2d")
             rot, rel, bear_a, bear_b = kernels.ransac_2d2d_px(
                 self._next_key(), self._next_key(), spec, intr,
                 jnp.asarray(uv_a), jnp.asarray(uv_b), jnp.asarray(mask),

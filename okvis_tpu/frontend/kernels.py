@@ -345,17 +345,32 @@ def _associate_onecam(
             bear_b, free_b3)
 
 
+def _prop_sigma_pos2(sb_b: jnp.ndarray) -> jnp.ndarray:
+    """Velocity-scaled position variance for the chi² gate, computed on
+    device from the PROPAGATED speed/bias (ref doSetup :131-141:
+    σ² = max(1,|v|)²·1e-2 in the IMU window) — keeps the propagation result
+    on device so addStates never blocks on its own."""
+    v = jnp.linalg.norm(sb_b[:3])
+    s = jnp.maximum(1.0, v)
+    return s * s * 1e-2
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "threshold"))
 def associate_onecam(
     spec, key, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a, std_a,
-    T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev,
-    T_SC, sigma_pos2, gate_radius, ransac_threshold_px2, threshold=60,
+    T_WS_b, sb_b, T_WC_a, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev,
+    T_SC, gate_radius, ransac_threshold_px2, threshold=60,
 ):
     """Fused association round for ONE camera (mixed-spec rigs fall back to
     one launch per camera; the folded RANSAC then pools only this camera's
-    correspondences instead of the whole rig's)."""
+    correspondences instead of the whole rig's). The current camera pose and
+    gate variance are composed IN-KERNEL from the (possibly still
+    device-resident) propagated body state."""
     from .ransac import ransac_absolute_rig
 
+    T_WC_b = kin.compose(T_WS_b, T_SC)
+    T_CW = kin.inverse(T_WC_b)
+    sigma_pos2 = _prop_sigma_pos2(sb_b)
     out = _associate_onecam(
         spec, threshold, intr, desc_a, sel3d_a, hp_rows, free2d_a, uv_a,
         std_a, T_CW, T_WC_a, T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev,
@@ -382,17 +397,16 @@ def associate_multicam(
     free2d_a: jnp.ndarray,  # (P, C, K)
     uv_a: jnp.ndarray,  # (P, C, K, 2)
     std_a: jnp.ndarray,  # (P, C, K) source keypoint stddev [px]
-    T_CW: kin.SE3,  # batched (C,...) current camera-from-world
+    T_WS_b: kin.SE3,  # current PROPAGATED body pose (may be device-resident)
+    sb_b: jnp.ndarray,  # (9,) propagated speed/bias (gate variance source)
     T_WC_a: kin.SE3,  # batched (P, C, ...) source camera poses
-    T_WC_b: kin.SE3,  # batched (C,...) current camera poses
     desc_b: jnp.ndarray,  # (C, K, 16)
     free_b: jnp.ndarray,  # (C, K)
     uv_b: jnp.ndarray,  # (C, K, 2)
     std_b: jnp.ndarray,  # (C, K) current keypoint stddev [px]
     sel_prev: jnp.ndarray,  # (C, K) keypoints already carrying landmarks
     pts_prev: jnp.ndarray,  # (C, K, 3) their world positions
-    T_SC: kin.SE3,  # batched (C,...) camera extrinsics (rig RANSAC)
-    sigma_pos2: jnp.ndarray,  # scalar position variance for the chi² gate
+    T_SC: kin.SE3,  # batched (C,...) camera extrinsics (pose compose + rig RANSAC)
     gate_radius: jnp.ndarray,
     ransac_threshold_px2: jnp.ndarray,
     threshold: int = 60,
@@ -425,6 +439,12 @@ def associate_multicam(
     can_init (S,K))).
     """
     from .ransac import ransac_absolute_rig
+
+    # compose the current camera poses from the propagated body pose —
+    # in-kernel so the host never has to fetch the propagation first
+    T_WC_b = jax.vmap(lambda tc: kin.compose(T_WS_b, tc))(T_SC)
+    T_CW = jax.vmap(kin.inverse)(T_WC_b)
+    sigma_pos2 = _prop_sigma_pos2(sb_b)
 
     def per_cam(intr, d_a, s3, hp_r, f2a, ua, s_a, T_CW_c, T_WC_a_c,
                 T_WC_b_c, d_b, f_b, u_b, s_b, sp, pp):

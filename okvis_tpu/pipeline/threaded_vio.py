@@ -484,6 +484,9 @@ class ThreadedVio:
             with Timer("2.1 addStates"):
                 try:
                     epoch = self._epoch_ns or 0
+                    # defer_fetch: the propagated pose stays on device and
+                    # rides the association launch's single blocking sync —
+                    # addStates itself costs zero device round trips
                     sid = est.add_states(
                         self._to_sec(ts_ns),
                         (imu_ts - epoch) / NS,
@@ -491,6 +494,7 @@ class ThreadedVio:
                         acc,
                         as_keyframe=False,
                         frame_id=mf.id,
+                        defer_fetch=True,
                     )
                 except (RuntimeError, ValueError):
                     # "Failed to add state! will drop multiframe."
@@ -500,10 +504,10 @@ class ThreadedVio:
                     self._frames_processed += 1
                     continue
             est.multiframes[mf.id] = mf
-            T_WS_prop = est.get_T_WS(sid)
+            T_WS_prop, sb_prop = est.last_prop_device()
             with Timer("2.4 matching"):
                 as_keyframe = self.frontend.data_association_and_initialization(
-                    est, T_WS_prop, mf
+                    est, T_WS_prop, mf, sb_prop=sb_prop
                 )
             est.set_keyframe(sid, as_keyframe)
             self._write_tracks_csv(ts_ns, mf)
@@ -576,8 +580,8 @@ class ThreadedVio:
 
         f = mf.frames[0]
         desc = np.asarray(f.descriptors)  # (K, 16) uint32
-        mask = np.asarray(f.keypoints.mask, bool).copy()
-        uv = np.asarray(f.keypoints.uv)
+        mask = f.mask_np.copy()
+        uv = f.uv_np
         K = desc.shape[0]
 
         rays = np.asarray(kernels.back_project_batch(
@@ -700,7 +704,7 @@ class ThreadedVio:
             if f is None:
                 continue
             fr = mf.frames[c]
-            uv = np.asarray(fr.keypoints.uv)
+            uv = fr.uv_np
             desc = np.asarray(fr.descriptors)
             for k in np.nonzero(fr.landmark_ids != 0)[0]:
                 stdev = fr.keypoint_size(int(k)) / 8.0

@@ -45,10 +45,15 @@ def main():
         help="OKVIS-format YAML config (default: the reference EuRoC config)",
     )
     args = ap.parse_args()
-    n_frames = args.n_frames
-    if not os.path.exists(args.config):
+    run_pipeline_bench(args.n_frames, args.config)
+
+
+def run_pipeline_bench(n_frames: int = 35, config: str = DEFAULT_CONFIG):
+    """Run the full-pipeline bench; prints the summary lines and returns the
+    result dict (also printed as a JSON line)."""
+    if not os.path.exists(config):
         sys.exit(
-            f"config not found: {args.config} — pass --config pointing at an "
+            f"config not found: {config} — pass --config pointing at an "
             "OKVIS EuRoC-style YAML"
         )
 
@@ -65,7 +70,7 @@ def main():
     from okvis_tpu.pipeline import ThreadedVio
     from okvis_tpu.utils.timing import Timing
 
-    params = read_config(args.config)
+    params = read_config(config)
     params.optimization.max_num_keypoints = 200
     params.optimization.detection_threshold = 15.0
 
@@ -95,9 +100,12 @@ def main():
             images.append(per_cam)
     print(f"rendered {n_frames} stereo frames", flush=True)
 
+    from okvis_tpu.utils import syncstats
+
     vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float32)
     t_frame_start = None
     frame_times = []
+    sync_deltas = []
     imu_i = 0
     t0_all = time.perf_counter()
     for fi in range(n_frames):
@@ -108,10 +116,13 @@ def main():
             )
             imu_i += 1
         t_frame_start = time.perf_counter()
+        s0 = syncstats.snapshot()
         for cam in range(2):
             vio.add_image(t_ns, cam, images[fi][cam])
         vio.wait_idle(timeout=300)
         frame_times.append(time.perf_counter() - t_frame_start)
+        s1 = syncstats.snapshot()
+        sync_deltas.append({k: s1.get(k, 0) - s0.get(k, 0) for k in s1})
     wall = time.perf_counter() - t0_all
 
     table = vio.shutdown()
@@ -133,11 +144,46 @@ def main():
     )
     ate = float("nan") if ate is None else ate
 
+    # blocking host<->device round trips per steady-state frame, split by
+    # pipeline stage. Processing-loop syncs (associate_fetch + optimize_fetch
+    # + rare extras) are the frame-latency critical path; detect_fetch runs
+    # in the detection thread and overlaps.
+    proc_tags = (
+        "associate_fetch", "optimize_fetch", "resolve_prop",
+        "propagate_fetch", "ransac2d2d", "stereo_standalone", "lmq_fetch",
+        "frame_mirror",
+    )
+    steady_syncs = sync_deltas[10:] or sync_deltas
+    per_frame = {
+        t: float(np.mean([d.get(t, 0) for d in steady_syncs]))
+        for t in proc_tags
+    }
+    proc_total = sum(per_frame.values())
+    detect = float(np.mean([d.get("detect_fetch", 0) for d in steady_syncs]))
+    print(
+        "blocking syncs/frame (steady): processing-loop "
+        f"{proc_total:.2f} ({ {k: round(v, 2) for k, v in per_frame.items() if v} }), "
+        f"detection thread {detect:.2f}"
+    )
+
     print(
         f"pipeline: {len(vio.trajectory)}/{n_frames} frames, "
         f"steady {fps:.2f} fps (median {med_ms:.0f} ms/frame), "
         f"total wall {wall:.1f} s, ATE {ate:.4f} m"
     )
+    import json
+
+    result = {
+        "metric": "pipeline_frames_per_s",
+        "value": round(fps, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 20.0, 4),
+        "ate_m": None if np.isnan(ate) else round(ate, 4),
+        "blocking_syncs_per_frame": round(proc_total, 2),
+        "frames": len(vio.trajectory),
+    }
+    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

@@ -511,7 +511,7 @@ def test_conflict_loser_rematches_in_second_round(rng):
     est.multiframes[sids[1]] = src_new
     est.multiframes[sids[2]] = cur
 
-    n3d = fe._associate_batched(est, [src_new, src_old], cur, T_WS)
+    n3d, _ = fe._associate_batched(est, [src_new, src_old], cur, T_WS)
     assert n3d == 2, f"expected both observations, got {n3d}"
     assert int(cur.frames[0].landmark_ids[0]) == L1  # newest source won kp 0
     assert int(cur.frames[0].landmark_ids[1]) == L2  # loser recovered kp 1
@@ -579,13 +579,13 @@ def _random_assoc_inputs(rng, P=2, C=2, K=24):
         q /= np.linalg.norm(q, axis=-1, keepdims=True)
         return kin.SE3(r=jnp.asarray(r), q=jnp.asarray(q))
 
-    T_CW = rand_pose((C,))
+    T_WS_b = rand_pose(())  # body pose; camera poses composed in-kernel
     T_WC_a = rand_pose((P, C))
-    T_WC_b = rand_pose((C,))
     T_SC = kin.SE3(
         r=jnp.asarray(np.zeros((C, 3))),
         q=jnp.asarray(np.tile([0.0, 0, 0, 1.0], (C, 1))),
     )
+    sb_b = jnp.zeros(9)
     std_b = np.full((C, K), 0.8 * 8.0 / 12.0)
     std_a = np.full((P, C, K), 0.8 * 8.0 / 12.0)
     sel_prev = np.zeros((C, K), bool)
@@ -593,10 +593,10 @@ def _random_assoc_inputs(rng, P=2, C=2, K=24):
     return (
         spec, jnp.asarray(intr), jnp.asarray(desc_a), jnp.asarray(sel3d),
         jnp.asarray(hp), jnp.asarray(free2), jnp.asarray(uv_a),
-        jnp.asarray(std_a), T_CW,
-        T_WC_a, T_WC_b, jnp.asarray(desc_b), jnp.asarray(free_b),
+        jnp.asarray(std_a), T_WS_b, sb_b,
+        T_WC_a, jnp.asarray(desc_b), jnp.asarray(free_b),
         jnp.asarray(uv_b), jnp.asarray(std_b), jnp.asarray(sel_prev),
-        jnp.asarray(pts_prev), T_SC, jnp.asarray(1e-2),
+        jnp.asarray(pts_prev), T_SC,
     )
 
 
@@ -608,28 +608,27 @@ def test_associate_multicam_equals_per_camera(rng):
     from okvis_tpu.frontend import kernels
 
     args = _random_assoc_inputs(rng)
-    (spec, intr, desc_a, sel3d, hp, free2, uv_a, std_a, T_CW, T_WC_a, T_WC_b,
-     desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC, sp2) = args
+    (spec, intr, desc_a, sel3d, hp, free2, uv_a, std_a, T_WS_b, sb_b, T_WC_a,
+     desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC) = args
     gate = jnp.asarray(40.0)
     thr2 = jnp.asarray(9.0)
     key = jax.random.PRNGKey(3)
     multi = kernels.associate_multicam(
-        spec, key, intr, desc_a, sel3d, hp, free2, uv_a, std_a, T_CW, T_WC_a,
-        T_WC_b, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC,
-        sp2, gate, thr2, threshold=200,
+        spec, key, intr, desc_a, sel3d, hp, free2, uv_a, std_a, T_WS_b, sb_b,
+        T_WC_a, desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC,
+        gate, thr2, threshold=200,
     )
     C = 2
     for c in range(C):
         one = kernels.associate_onecam(
             spec, key, intr[c], desc_a[:, c], sel3d[:, c], hp[:, c],
             free2[:, c], uv_a[:, c], std_a[:, c],
-            kin.SE3(r=T_CW.r[c], q=T_CW.q[c]),
+            T_WS_b, sb_b,
             kin.SE3(r=T_WC_a.r[:, c], q=T_WC_a.q[:, c]),
-            kin.SE3(r=T_WC_b.r[c], q=T_WC_b.q[c]),
             desc_b[c], free_b[c], uv_b[c], std_b[c], sel_prev[c],
             pts_prev[c],
             kin.SE3(r=T_SC.r[c], q=T_SC.q[c]),
-            sp2, gate, thr2, threshold=200,
+            gate, thr2, threshold=200,
         )
         for m, o in list(zip(multi, one))[:6]:
             np.testing.assert_allclose(
@@ -643,13 +642,15 @@ def test_associate_onecam_3d2d_respects_device_claims(rng):
     from okvis_tpu.frontend import kernels
 
     args = _random_assoc_inputs(rng, P=3, C=1, K=32)
-    (spec, intr, desc_a, sel3d, hp, free2, uv_a, std_a, T_CW, T_WC_a, T_WC_b,
-     desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC, _sp2) = args
+    (spec, intr, desc_a, sel3d, hp, free2, uv_a, std_a, T_WS_b, _sb_b, T_WC_a,
+     desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC) = args
+    # huge speed -> huge gate variance (the old 1e6 sigma_pos2 equivalent)
+    sb_huge = jnp.zeros(9).at[0].set(1e4)
     out = kernels.associate_multicam(
         spec, jax.random.PRNGKey(4), intr, desc_a,
-        sel3d, hp, free2, uv_a, std_a, T_CW, T_WC_a, T_WC_b,
+        sel3d, hp, free2, uv_a, std_a, T_WS_b, sb_huge, T_WC_a,
         desc_b, free_b, uv_b, std_b, sel_prev, pts_prev, T_SC,
-        jnp.asarray(1e6), jnp.asarray(1e6), jnp.asarray(9.0), threshold=512,
+        jnp.asarray(1e6), jnp.asarray(9.0), threshold=512,
     )
     assign3, assign2 = np.asarray(out[0]), np.asarray(out[1])
     claimed = set(assign3[assign3 >= 0].tolist())
@@ -911,7 +912,7 @@ def test_uninitialized_landmark_upgraded_via_2d2d(rng):
     est.multiframes[sids[0]] = src
     est.multiframes[sids[1]] = cur
 
-    n3d = fe._associate_batched(est, [src], cur, est.get_T_WS(sids[1]))
+    n3d, _ = fe._associate_batched(est, [src], cur, est.get_T_WS(sids[1]))
     assert n3d == 0, "uninitialized landmark must not 3D-2D match"
     assert int(cur.frames[0].landmark_ids[0]) == L, "2D-2D reuse failed"
     assert est.landmarks[L].initialized, "landmark not upgraded"
@@ -1011,7 +1012,7 @@ def test_folded_ransac_removes_outlier_association(rng):
     est.multiframes[sids[0]] = src
     est.multiframes[sids[1]] = cur
 
-    n3d = fe._associate_batched(
+    n3d, _ = fe._associate_batched(
         est, [src], cur, est.get_T_WS(sids[1]), apply_ransac=True
     )
     assert n3d == n, f"expected all {n} 3D-2D matches, got {n3d}"
@@ -1247,7 +1248,7 @@ def test_mixed_spec_rig_fallback_path(rng):
     mp = _pytest.MonkeyPatch()
     mp.setattr(k, "associate_multicam", spy_multi)
     try:
-        n3d = fe._associate_batched(est, [src], cur, est.get_T_WS(sids[1]))
+        n3d, _ = fe._associate_batched(est, [src], cur, est.get_T_WS(sids[1]))
     finally:
         mp.undo()
     assert calls["multi"] == 0, "mixed-spec rig must use the fallback"
