@@ -441,9 +441,30 @@ class ThreadedVio:
                 self._frames_enqueued -= 1
                 self._images_consumed += 1
                 continue
-            # predicted pose for gravity-aligned extraction
+            # predicted pose for gravity-aligned extraction; before any
+            # optimized state exists, gravity-align from the IMU buffer
+            # (ref initPoseFromImu in frameConsumerLoop,
+            # ThreadedKFVio.cpp:397-412) — otherwise the first keyframe's
+            # descriptors use a different extraction angle than every later
+            # frame and can never match them
             last = self._last_optimized
-            T_WS_pred = last.T_WS if last is not None else None
+            if last is not None:
+                T_WS_pred = last.T_WS
+            else:
+                T_WS_pred = None
+                _ts, _gy, acc = self._get_imu_slice(
+                    group["timestamp_ns"] - NS,
+                    group["timestamp_ns"] + IMU_OVERLAP_NS,
+                )
+                if len(_ts) >= 2:
+                    from ..imu.preintegration import init_pose_from_imu
+                    import jax.numpy as _jnp
+
+                    T_WS_pred = init_pose_from_imu(
+                        _jnp.asarray(
+                            acc.mean(axis=0), self.estimator.dtype
+                        )
+                    )
             with Timer("1.x detectAndDescribe"):
                 images = [group["images"][c] for c in sorted(group["images"].keys())]
                 frames = self.frontend.detect_and_describe_multi(images, T_WS_pred)
