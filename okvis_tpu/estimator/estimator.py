@@ -27,7 +27,11 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, List, Optional, Tuple
+
+# opt-in consistency checks for incrementally maintained host bookkeeping
+_DEBUG_CHECKS = os.environ.get("OKVIS_DEBUG_CHECKS", "") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -244,6 +248,79 @@ class Estimator:
                     )
                 )
         return self._jit_cache[key]
+
+    def _optimize_continue_fn(self, chunk_iters: int = 1):
+        """Jitted continuation chunk: re-enter the trust-region loop at the
+        current iterate with a warm-started damping parameter (see
+        optimize_window's trust0). Used by the wall-clock budget contract."""
+        key = ("opt_cont", chunk_iters)
+        if key not in self._jit_cache:
+            cfg = dataclasses.replace(self.cfg, max_iterations=chunk_iters)
+            self._jit_cache[key] = jax.jit(
+                functools.partial(
+                    optimize_window, cfg, self.imu_params, self.intrinsics
+                )
+            )
+        return self._jit_cache[key]
+
+    def _optimize_deadline(
+        self,
+        problem,
+        time_limit: float,
+        min_iterations: int,
+        max_iterations: int,
+    ):
+        """Wall-clock optimization budget, the XLA mapping of the reference's
+        mid-solve abort (CeresIterationCallback.hpp:44-80: Ceres stops when
+        elapsed > timeLimit once >= minIterations ran). Compiled programs
+        cannot be aborted, so: run the min-iteration program, then while the
+        measured elapsed time plus the (EMA-estimated) cost of one more
+        1-iteration continuation chunk fits the budget, top up — each chunk
+        re-enters the loop at the current device iterate with the carried
+        damping, which is semantically one longer solve. Worst-case overrun
+        is one 1-iteration chunk, not the full max-iteration program."""
+        import time as _time
+
+        from ..utils import syncstats
+
+        t0 = _time.perf_counter()
+        states, diag = self._optimize_fn(min_iterations)(problem)
+        # the deadline check needs real elapsed time: block on the scalar
+        # cost (cheap transfer; the bulk state fetch still happens once at
+        # the end of optimize())
+        jax.block_until_ready(diag.final_cost)
+        syncstats.bump("optimize_deadline_sync")
+        iters = min_iterations
+        hists = [diag.cost_history]
+        accs = [diag.accepted]
+        chunk_cost = None
+        cont = self._optimize_continue_fn(1)
+        while iters < max_iterations:
+            elapsed = _time.perf_counter() - t0
+            # first prediction: one blocking round trip (= the min program's
+            # elapsed) upper-bounds a 1-iteration chunk whether the cost is
+            # dispatch-dominated (remote/tunneled chip) or compute-dominated
+            # (direct-attached) — conservative, so the budget holds
+            predicted = chunk_cost if chunk_cost is not None else elapsed
+            if elapsed + predicted > time_limit:
+                break
+            tc = _time.perf_counter()
+            states, diag = cont(
+                problem._replace(states=states), diag.final_lambda
+            )
+            jax.block_until_ready(diag.final_cost)
+            syncstats.bump("optimize_deadline_sync")
+            dt = _time.perf_counter() - tc
+            chunk_cost = dt if chunk_cost is None else 0.5 * chunk_cost + 0.5 * dt
+            iters += 1
+            hists.append(diag.cost_history)
+            accs.append(diag.accepted)
+        if len(hists) > 1:
+            diag = diag._replace(
+                cost_history=jnp.concatenate(hists),
+                accepted=jnp.concatenate(accs),
+            )
+        return states, diag
 
     def enable_distributed(self, mesh=None, n_devices: Optional[int] = None):
         """Run every optimize() as the SHARDED BA over a device mesh
@@ -898,11 +975,31 @@ class Estimator:
     # ------------------------------------------------------------------
     # optimize (ref Estimator::optimize, Estimator.cpp:842-906)
     # ------------------------------------------------------------------
-    def optimize(self, max_iterations: Optional[int] = None, verbose: bool = False):
+    def optimize(
+        self,
+        max_iterations: Optional[int] = None,
+        verbose: bool = False,
+        time_limit: Optional[float] = None,
+        min_iterations: Optional[int] = None,
+    ):
+        """One full window solve. With `time_limit` set (and a single-device
+        solver), runs the chunked wall-clock budget contract (ref
+        CeresIterationCallback semantics): >= min_iterations always, up to
+        max_iterations while under budget."""
         from ..utils import syncstats
 
         problem = self._build_problem()
-        states, diag = self._optimize_fn(max_iterations)(problem)
+        if time_limit is not None and self._mesh is None:
+            states, diag = self._optimize_deadline(
+                problem,
+                time_limit,
+                min_iterations if min_iterations is not None else 1,
+                max_iterations
+                if max_iterations is not None
+                else self.cfg.max_iterations,
+            )
+        else:
+            states, diag = self._optimize_fn(max_iterations)(problem)
         # pull back results in ONE blocking fetch (each separate np.array of
         # a device value is its own host↔device round trip)
         pulls = [states.r_WS, states.q_WS, states.speed_and_bias, states.hp_W]
@@ -1160,6 +1257,16 @@ class Estimator:
         self.observations = [o for o in self.observations if o.pose_id in self.states]
         if len(self.observations) != n_before:
             self._rebuild_obs_count()
+        if _DEBUG_CHECKS:
+            # obs_count is an incrementally maintained shadow of
+            # self.observations; verify it after the one pass that mutates
+            # the list in bulk (set OKVIS_DEBUG_CHECKS=1 to enable)
+            oc: Dict[int, int] = {}
+            for o in self.observations:
+                oc[o.lm_id] = oc.get(o.lm_id, 0) + 1
+            assert oc == self.obs_count, (
+                "obs_count desynced from observations after marginalization"
+            )
 
         if redo_fixation and self.states:
             oldest = self._states_by_time()[0]

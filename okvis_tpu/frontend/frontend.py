@@ -431,6 +431,10 @@ class Frontend:
                 if demote.any():
                     for lm_id in np.unique(lids[demote]):
                         estimator.landmarks[int(lm_id)].initialized = False
+                    # keep the snapshot table consistent: later (p, c)
+                    # occurrences of the same landmark see it demoted and
+                    # skip the host work above
+                    tbl_init[idx[demote]] = False
                     init &= ~demote
                 sel_a[p, c] = init
                 if init.any():

@@ -188,6 +188,9 @@ class ThreadedVio:
         self._prop_state = None  # (t_ns, T_WS, sb)
         self._reprop_needed = False
         self._last_opt_duration: Optional[float] = None
+        # per-frame optimize() wall-clock latencies (budget-contract p50/p99
+        # reporting; floats only, negligible memory on long runs)
+        self.opt_latencies: List[float] = []
 
         # callbacks (VioInterface.hpp:70-87)
         self.state_callback: Optional[Callable] = None
@@ -534,21 +537,26 @@ class ThreadedVio:
             self._write_tracks_csv(ts_ns, mf)
             with Timer("3.1 optimization"):
                 # real-time knob (ref setOptimizationTimeLimit +
-                # CeresIterationCallback): if the last optimize exceeded the
-                # budget, fall back to the min-iteration compiled variant.
-                # Blocking mode = unlimited time (ThreadedKFVio.cpp:312-319).
+                # CeresIterationCallback): non-blocking mode runs the chunked
+                # wall-clock budget contract — min-iteration program first,
+                # then 1-iteration continuation chunks while under budget
+                # (worst-case overrun = one chunk, not the full max-iteration
+                # program). Blocking mode = unlimited time, full iterations
+                # (ThreadedKFVio.cpp:312-319).
                 import time as _time
 
-                iters = None
-                if (
-                    not self.blocking
-                    and self._last_opt_duration is not None
-                    and self._last_opt_duration > self.params.optimization.time_limit
-                ):
-                    iters = self.params.optimization.min_iterations
+                opt = self.params.optimization
                 _t0 = _time.perf_counter()
-                est.optimize(max_iterations=iters)
+                if self.blocking:
+                    est.optimize()
+                else:
+                    est.optimize(
+                        time_limit=opt.time_limit,
+                        min_iterations=opt.min_iterations,
+                        max_iterations=opt.max_iterations,
+                    )
                 self._last_opt_duration = _time.perf_counter() - _t0
+                self.opt_latencies.append(self._last_opt_duration)
             with Timer("3.2 marginalization"):
                 removed_hp = (
                     {

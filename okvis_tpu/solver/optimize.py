@@ -259,15 +259,22 @@ def optimize_window_dogleg(
     imu_params: ImuParams,
     intrinsics: List[jnp.ndarray],
     problem: BaProblem,
+    trust0: jnp.ndarray = None,
 ) -> Tuple[WindowStates, SolveDiagnostics]:
     """Powell dogleg trust-region loop (the reference's Ceres DOGLEG mode,
     Estimator.cpp:854-868): blend the Gauss-Newton step with the Cauchy
     (steepest-descent) step inside a trust radius; ρ-based radius update.
-    Same static-shape scan structure as the LM loop."""
+    Same static-shape scan structure as the LM loop.
+
+    `trust0` (optional, traced) warm-starts the trust radius — used by the
+    wall-clock-budget continuation chunks (see optimize_window)."""
     states0 = problem.states
     dtype = states0.r_WS.dtype
     eqs0 = evaluate(cfg, imu_params, intrinsics, problem, states0)
-    radius0 = jnp.asarray(cfg.init_radius, dtype)
+    radius0 = (
+        jnp.asarray(cfg.init_radius, dtype) if trust0 is None
+        else jnp.asarray(trust0, dtype)
+    )
 
     def step(carry, _):
         states, eqs, radius = carry
@@ -353,6 +360,7 @@ def optimize_window(
     imu_params: ImuParams,
     intrinsics: List[jnp.ndarray],
     problem: BaProblem,
+    trust0: jnp.ndarray = None,
 ) -> Tuple[WindowStates, SolveDiagnostics]:
     """Trust-region loop over the whole window (jit this with cfg static).
 
@@ -360,12 +368,26 @@ def optimize_window(
     Fixed cfg.max_iterations iterations; rejected steps adapt the trust
     parameter and keep the iterate (masked update), so the program shape is
     static.
+
+    `trust0` (optional, traced) warm-starts the damping (LM λ / dogleg
+    radius). The wall-clock optimization budget (ref CeresIterationCallback
+    .hpp:44-80: abort when elapsed > timeLimit and ≥ minIterations done)
+    maps to XLA as CHUNKED CONTINUATION: run the min-iteration program, then
+    while under budget re-enter with problem.states := current iterate and
+    trust0 := final_lambda — semantically identical to one longer solve
+    because both the iterate and the trust parameter ride through.
     """
     if cfg.algorithm == "dogleg":
-        return optimize_window_dogleg(cfg, imu_params, intrinsics, problem)
+        return optimize_window_dogleg(
+            cfg, imu_params, intrinsics, problem, trust0
+        )
     states0 = problem.states
     eqs0 = evaluate(cfg, imu_params, intrinsics, problem, states0)
-    lam0 = jnp.asarray(cfg.init_lambda, dtype=states0.r_WS.dtype)
+    lam0 = (
+        jnp.asarray(cfg.init_lambda, dtype=states0.r_WS.dtype)
+        if trust0 is None
+        else jnp.asarray(trust0, dtype=states0.r_WS.dtype)
+    )
 
     # The normal equations of the CURRENT iterate ride the carry: each
     # iteration evaluates the factor graph exactly ONCE (at the candidate) —

@@ -166,6 +166,18 @@ def run_pipeline_bench(n_frames: int = 35, config: str = DEFAULT_CONFIG):
         f"detection thread {detect:.2f}"
     )
 
+    # optimize() latency distribution vs the configured wall-clock budget
+    # (CeresIterationCallback parity; blocking mode runs unlimited, so this
+    # is informational here — scripts/bench_deadline.py measures the
+    # contract in real-time mode)
+    if vio.opt_latencies:
+        lat = np.asarray(vio.opt_latencies[10:] or vio.opt_latencies)
+        print(
+            f"optimize latency: p50 {1e3 * np.percentile(lat, 50):.1f} ms, "
+            f"p99 {1e3 * np.percentile(lat, 99):.1f} ms "
+            f"(budget {1e3 * params.optimization.time_limit:.0f} ms)"
+        )
+
     print(
         f"pipeline: {len(vio.trajectory)}/{n_frames} frames, "
         f"steady {fps:.2f} fps (median {med_ms:.0f} ms/frame), "

@@ -449,3 +449,21 @@ def test_extrinsics_prior_after_device_resident_marginal():
     assert isinstance(est.marg_c0, float)
     est.states_slot_reset(0)  # numpy branch; must not raise
     assert est.marg_H[0, 0] == 0.0
+
+
+def test_optimize_wall_clock_budget_contract():
+    """Ref CeresIterationCallback.hpp:44-80 semantics via chunked
+    continuation: optimize(time_limit=...) always runs >= min_iterations,
+    tops up toward max_iterations only while under budget, and the topped-up
+    solve must not be worse than the min-iteration one."""
+    est, _, _, _, _, _ = _run_estimator_case({}, n_frames=6)
+
+    # zero budget -> exactly the min-iteration program
+    d0 = est.optimize(time_limit=0.0, min_iterations=2, max_iterations=5)
+    assert d0.cost_history.shape[0] == 2
+
+    # unlimited budget -> topped up to max_iterations via 1-iter chunks
+    d1 = est.optimize(time_limit=1e9, min_iterations=2, max_iterations=5)
+    assert d1.cost_history.shape[0] == 5
+    # LM accepts only improving steps, so more iterations never hurt
+    assert float(d1.final_cost) <= float(d0.final_cost) + 1e-9

@@ -212,3 +212,40 @@ def test_batched_windows_match_individual(world, rng):
         np.testing.assert_allclose(
             np.asarray(diag_b.final_cost[i]), np.asarray(d_i.final_cost), rtol=1e-9
         )
+
+
+def test_chunked_continuation_matches_monolithic(world, rng):
+    """The wall-clock budget contract re-enters the LM loop at the current
+    iterate with the carried damping (optimize_window trust0). A k-chunked
+    solve must equal the monolithic k-iteration program exactly: chunk
+    boundaries recompute the carried normal equations at the same iterate,
+    and lambda rides through (ref CeresIterationCallback semantics:
+    continuing == never having stopped)."""
+    import dataclasses
+
+    cfg, imu_params, intrinsics, problem, truth = world
+    perturbed = perturb_problem(problem, truth, rng)
+
+    cfg4 = dataclasses.replace(cfg, max_iterations=4)
+    s_mono, d_mono = optimize_window(cfg4, imu_params, intrinsics, perturbed)
+
+    cfg2 = dataclasses.replace(cfg, max_iterations=2)
+    cfg1 = dataclasses.replace(cfg, max_iterations=1)
+    s, d = optimize_window(cfg2, imu_params, intrinsics, perturbed)
+    for _ in range(2):
+        s, d = optimize_window(
+            cfg1, imu_params, intrinsics,
+            perturbed._replace(states=s), trust0=d.final_lambda,
+        )
+    np.testing.assert_allclose(
+        np.asarray(s.r_WS), np.asarray(s_mono.r_WS), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(s.q_WS), np.asarray(s_mono.q_WS), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(d.final_cost), np.asarray(d_mono.final_cost), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(d.final_lambda), np.asarray(d_mono.final_lambda), rtol=1e-9
+    )
