@@ -366,6 +366,7 @@ class Frontend:
         batched round (the reference's sequential per-source matching gets
         this for free)."""
         t_host0 = time.perf_counter()
+        t_host0_cpu = time.thread_time()
         cfg = self.cfg
         K = cfg.max_keypoints
         P = len(sources)
@@ -444,6 +445,10 @@ class Frontend:
                 # 2D-2D pool (upgraded on match), as do unassociated keypoints
                 free2_a[p, c] = (carried & ~init) | (m_a & (fa.landmark_ids == 0))
 
+        # pure-numpy input tables done; the rest of the build is device
+        # upload/dispatch (jnp.asarray/stack), timed separately (thread CPU
+        # time excludes GIL waits on concurrent device threads)
+        Timing.add("host: assoc tables (np)", time.thread_time() - t_host0_cpu)
         desc_a_j = jnp.stack(
             [jnp.stack([src.frames[c].descriptors for c in range(C)]) for src in sources]
         )  # (P, C, K, 16)
@@ -672,6 +677,7 @@ class Frontend:
             for c in range(C)
         ]
         n3d_primary = 0
+        nonlocal_t = {"recovery": 0.0, "recovery_cpu": 0.0}
 
         def resolve_phase(p_lo, p_hi, apply_rs):
             nonlocal n3d_primary
@@ -718,6 +724,8 @@ class Frontend:
                 # per-source matching gets this for free; one extra batched
                 # launch restores it, only on frames that had conflicts) ----
                 if losers.any() and free_b.any():
+                    t_rec0 = time.perf_counter()
+                    t_rec0_cpu = time.thread_time()
                     T_CW_b = kin.SE3(
                         r=jnp.tile(jnp.asarray(T_CW_host[cam][0])[None], (P, 1)),
                         q=jnp.tile(jnp.asarray(T_CW_host[cam][1])[None], (P, 1)),
@@ -737,6 +745,8 @@ class Frontend:
                         jnp.asarray(cfg.gate_radius_px),
                         threshold=cfg.matching_threshold,
                     )
+                    nonlocal_t["recovery"] += time.perf_counter() - t_rec0
+                    nonlocal_t["recovery_cpu"] += time.thread_time() - t_rec0_cpu
                     resolve_3d2d(np.asarray(assign_r), collect_losers=False)
 
                 # ---- 2D-2D: assignments + triangulations precomputed in the
@@ -841,12 +851,34 @@ class Frontend:
                             )
                         frame_b.set_landmark_id(cam, ib, 0)
 
+        t_res0 = time.perf_counter()
+        t_res0_cpu = time.thread_time()
         resolve_phase(0, n_primary, apply_ransac)
         decision = None
+        t_cb = t_cb_cpu = 0.0
         if phase_callback is not None:
+            t_cb0 = time.perf_counter()
+            t_cb0_cpu = time.thread_time()
             decision = phase_callback()
+            t_cb = time.perf_counter() - t_cb0
+            t_cb_cpu = time.thread_time() - t_cb0_cpu
         if n_primary < P:
             resolve_phase(n_primary, P, apply_ransac)
+        # pure-host resolution cost: exclude the (rare) loser-recovery device
+        # launch and the keyframe-decision callback, reported on their own
+        Timing.add(
+            "host: assoc resolve",
+            time.perf_counter() - t_res0 - nonlocal_t["recovery"] - t_cb,
+        )
+        # thread CPU time isolates our work from GIL/scheduler contention with
+        # concurrent device threads (recovery launch + callback subtracted)
+        Timing.add(
+            "host: assoc resolve (cpu)",
+            time.thread_time() - t_res0_cpu
+            - nonlocal_t["recovery_cpu"] - t_cb_cpu,
+        )
+        if nonlocal_t["recovery"]:
+            Timing.add("assoc recovery launch", nonlocal_t["recovery"])
         return n3d_primary, decision
 
     # ------------------------------------------------------------------

@@ -48,7 +48,12 @@ def main():
     run_pipeline_bench(args.n_frames, args.config)
 
 
-def run_pipeline_bench(n_frames: int = 35, config: str = DEFAULT_CONFIG):
+def run_pipeline_bench(
+    n_frames: int = 35,
+    config: str = DEFAULT_CONFIG,
+    max_keypoints: int = 200,
+    n_world_landmarks: int = 260,
+):
     """Run the full-pipeline bench; prints the summary lines and returns the
     result dict (also printed as a JSON line)."""
     if not os.path.exists(config):
@@ -71,7 +76,7 @@ def run_pipeline_bench(n_frames: int = 35, config: str = DEFAULT_CONFIG):
     from okvis_tpu.utils.timing import Timing
 
     params = read_config(config)
-    params.optimization.max_num_keypoints = 200
+    params.optimization.max_num_keypoints = max_keypoints
     params.optimization.detection_threshold = 15.0
 
     specs, T_SC, intrinsics = euroc_stereo_rig()
@@ -81,7 +86,7 @@ def run_pipeline_bench(n_frames: int = 35, config: str = DEFAULT_CONFIG):
     frame_dt = 0.1
     duration = (n_frames + 2) * frame_dt
     traj = simulate_trajectory(duration=duration, seed=31, motion_scale=0.25)
-    lms = make_landmarks(traj, 260, seed=32, radius=(4.0, 8.0))
+    lms = make_landmarks(traj, n_world_landmarks, seed=32, radius=(4.0, 8.0))
 
     # pre-render all images on the host CPU backend
     cpu = jax.devices("cpu")[0]
