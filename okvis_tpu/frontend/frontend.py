@@ -56,6 +56,11 @@ class FrontendConfig:
     ransac_threshold_px2: float = 9.0
     min_3d2d_matches: int = 5  # tracking-failure warning level (Frontend.cpp:191)
     detection_masks: tuple = None  # optional per-camera (H, W) bool masks
+    # below this correspondence count the 2D-2D relative model also runs the
+    # host Stewenius 5-point (reference minimal solver, Frontend.cpp:645-810)
+    # and the higher-inlier model wins — 8-point hypotheses are correlated
+    # and weak when N barely exceeds the sample size (frontend/fivepoint.py)
+    fivepoint_max_corr: int = 24
 
 
 class Frontend:
@@ -1040,6 +1045,26 @@ class Frontend:
                 jnp.asarray(uv_a), jnp.asarray(uv_b), jnp.asarray(mask),
                 focal, self.cfg.ransac_threshold_px2,
             )
+            if n_corr <= self.cfg.fivepoint_max_corr:
+                # low overlap: the reference's Stewenius 5-point minimal
+                # solver (host — init-time cold path) competes with the
+                # batched 8-point model; more inliers wins
+                from .fivepoint import ransac_relative_pose_5pt
+                from .ransac import RansacResult
+
+                inl5, n5, E5, ok5 = ransac_relative_pose_5pt(
+                    np.asarray(bear_a), np.asarray(bear_b), mask,
+                    focal=focal,
+                    threshold_px2=self.cfg.ransac_threshold_px2,
+                    n_iters=50,
+                    seed=int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1)),
+                )
+                if n5 > int(rel.num_inliers):
+                    rel = RansacResult(
+                        inliers=inl5, num_inliers=n5,
+                        model=jnp.asarray(E5.ravel()), success=ok5,
+                    )
+
             rot_ratio = int(rot.num_inliers) / n_corr
             rel_ratio = int(rel.num_inliers) / n_corr
 
