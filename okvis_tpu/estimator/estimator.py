@@ -57,6 +57,7 @@ from ..solver import (
 )
 from ..solver.assemble import evaluate
 from ..solver.optimize import SolveDiagnostics, dense_dim_mask
+from ..utils import capture
 from ..utils.ids import IdProvider
 from ..utils.timing import Timing
 from .marginalization import marginalize_system
@@ -345,6 +346,8 @@ class Estimator:
 
         t0 = _time.perf_counter()
         states, diag = self._optimize_fn(min_iterations)(problem)
+        if capture.enabled:
+            capture.record("optimize", self._optimize_fn(min_iterations), problem)
         # the deadline check needs real elapsed time: block on the scalar
         # cost (cheap transfer; the bulk state fetch still happens once at
         # the end of optimize())
@@ -525,7 +528,7 @@ class Estimator:
             ts_p, gy_p, ac_p = self._pad_imu(
                 imu_ts, imu_gyro, imu_acc, self.cfg.imu_samples
             )
-            T_WS, sb_j = self._propagate_fn(
+            prop_args = (
                 T_prev,
                 jnp.asarray(self.sb[last.slot], dtype=self.dtype),
                 jnp.asarray(ts_p, dtype=self.dtype),
@@ -534,6 +537,9 @@ class Estimator:
                 jnp.asarray(last.timestamp, dtype=self.dtype),
                 jnp.asarray(timestamp, dtype=self.dtype),
             )
+            T_WS, sb_j = self._propagate_fn(*prop_args)
+            if capture.enabled:
+                capture.record("propagate", self._propagate_fn, *prop_args)
             if defer_fetch:
                 sb = None
             else:
@@ -1088,6 +1094,8 @@ class Estimator:
             )
         else:
             states, diag = self._optimize_fn(max_iterations)(problem)
+            if capture.enabled:
+                capture.record("optimize", self._optimize_fn(max_iterations), problem)
         # pull back results in ONE blocking fetch (each separate np.array of
         # a device value is its own host↔device round trip)
         pulls = [states.r_WS, states.q_WS, states.speed_and_bias, states.hp_W]
@@ -1335,6 +1343,12 @@ class Estimator:
                 jnp.asarray(keep_dense),
                 jnp.asarray(marg_lm_mask),
             )
+            if capture.enabled:
+                capture.record(
+                    "marginalize", self._marginalize_fn, problem,
+                    jnp.asarray(marg_dense), jnp.asarray(keep_dense),
+                    jnp.asarray(marg_lm_mask),
+                )
             # keep the prior device-resident: no download here and no
             # re-upload in the next _build_problem — the marginalize launch
             # becomes fully async (the host never blocks on its result)

@@ -34,6 +34,7 @@ from .. import kinematics as kin
 from ..cameras.ncamera import NCameraSystem
 from ..estimator.estimator import Estimator
 from ..imu.preintegration import propagate
+from ..utils import capture
 from ..utils.ids import IdProvider
 from ..utils.timing import Timing
 from .brisk import describe_keypoints, gravity_extraction_angle
@@ -164,6 +165,15 @@ class Frontend:
                 octaves=self.cfg.detection_octaves,
                 has_masks=has_masks,
             )
+            if capture.enabled:
+                capture.record(
+                    "detect", detect_and_describe_batch_pyramid, stack,
+                    jnp.asarray(angles), masks,
+                    threshold=self.cfg.detection_threshold,
+                    max_keypoints=self.cfg.max_keypoints,
+                    octaves=self.cfg.detection_octaves,
+                    has_masks=has_masks,
+                )
             sizes_np = np.asarray(sizes_b) if self.cfg.detection_octaves > 0 else None
         else:
             kps_b, desc_b = detect_and_describe_batch(
@@ -172,6 +182,12 @@ class Frontend:
                 threshold=self.cfg.detection_threshold,
                 max_keypoints=self.cfg.max_keypoints,
             )
+            if capture.enabled:
+                capture.record(
+                    "detect", detect_and_describe_batch, stack, jnp.asarray(angles),
+                    threshold=self.cfg.detection_threshold,
+                    max_keypoints=self.cfg.max_keypoints,
+                )
             sizes_np = None
         # one joint host fetch for all cameras' uv/mask mirrors — the
         # association path reads them many times; done HERE so the transfer
@@ -533,7 +549,7 @@ class Frontend:
         # mixed rigs fall back to the standalone _match_stereo launch
         stereo_pairs = self._stereo_pairs(C) if (stereo and uniform) else ()
         if uniform:
-            out = kernels.associate_multicam(
+            assoc_args = (
                 self.rig.specs[0],
                 self._next_key(),
                 jnp.stack(estimator.intrinsics[:C]),
@@ -555,9 +571,17 @@ class Frontend:
                 T_SC_stk,
                 jnp.asarray(cfg.gate_radius_px),
                 jnp.asarray(cfg.ransac_threshold_px2),
+            )
+            out = kernels.associate_multicam(
+                *assoc_args,
                 threshold=cfg.matching_threshold,
                 stereo_pairs=stereo_pairs,
             )
+            if capture.enabled:
+                capture.record(
+                    "associate", kernels.associate_multicam, *assoc_args,
+                    threshold=cfg.matching_threshold, stereo_pairs=stereo_pairs,
+                )
             # ONE blocking sync: the association results, the propagated
             # body state (host copy for the rare recovery round), AND any
             # deferred addStates propagation in the same device_get
