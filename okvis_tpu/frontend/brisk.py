@@ -106,11 +106,48 @@ def _multi_sigma_kernels(sigmas: np.ndarray) -> Tuple[np.ndarray, int]:
 _BLUR_TAPS, _BLUR_RAD = _multi_sigma_kernels(_SIGMAS)
 
 
+@functools.lru_cache(maxsize=None)
+def _blur_toeplitz_bank(n: int) -> np.ndarray:
+    """(L, n, n) banded Toeplitz matrices: column w of level l holds the
+    level's Gaussian taps centered at w, with out-of-range taps folded onto
+    the clamped border row — exactly the edge-replicate conv semantics
+    (out[w] = Σ_t k[t]·img[clamp(w+t−r, 0, n−1)])."""
+    L, taps = _BLUR_TAPS.shape
+    r = _BLUR_RAD
+    T = np.zeros((L, n, n), np.float32)
+    for l in range(L):
+        for t in range(taps):
+            w = np.arange(n)
+            src = np.clip(w + t - r, 0, n - 1)
+            np.add.at(T[l], (src, w), _BLUR_TAPS[l, t])
+    return T
+
+
 def blur_pyramid(images: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W) → (B, L, H, W): every pattern-sigma blur of every image in
-    TWO conv ops (one horizontal multi-output, one vertical depthwise) —
-    replaces 2·L vmapped 1-D convolve passes per image. Edge-replicate
-    padding matches detection._sep_blur."""
+    """(B, H, W) → (B, L, H, W): every pattern-sigma blur of every image as
+    TWO banded-Toeplitz matmul contractions (horizontal then vertical).
+
+    A separable blur with 1 input channel and L output channels is a
+    worst-case conv for the MXU (the systolic array wants ≥128-deep channel
+    contractions; C_in=1 leaves it ~1% utilized — measured 2.5 ms for
+    (2,5,480,752) on v5e). Expressed as dense (n,n) banded matrices the
+    same math contracts over the 480/752-long spatial axis and runs at
+    matmul speed (~0.3 ms). The matrices bake in the edge-replicate
+    clamping, so outputs equal the conv formulation to float rounding.
+    HIGHEST precision: descriptor bits compare smoothed intensities, so the
+    blur must not lose precision to single-pass bf16."""
+    B, H, W = images.shape
+    x = images.astype(jnp.float32)
+    Tw = jnp.asarray(_blur_toeplitz_bank(W))  # (L, W, W)
+    Th = jnp.asarray(_blur_toeplitz_bank(H))  # (L, H, H)
+    out = jnp.einsum("bhw,lwv->blhv", x, Tw, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("blhv,lhg->blgv", out, Th, precision=jax.lax.Precision.HIGHEST)
+    return out
+
+
+def _blur_pyramid_conv(images: jnp.ndarray) -> jnp.ndarray:
+    """Reference conv formulation of blur_pyramid (kept for the equivalence
+    test; the Toeplitz matmul path above is the production implementation)."""
     B, H, W = images.shape
     L = len(_SIGMAS)
     dtype = images.dtype

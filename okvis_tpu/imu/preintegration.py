@@ -128,8 +128,16 @@ def preintegrate(
     t0: jnp.ndarray,  # scalar start time
     t1: jnp.ndarray,  # scalar end time
     sb_ref: jnp.ndarray,  # (9,) speed-and-bias linearization point [v, b_g, b_a]
+    mean_only: bool = False,
 ) -> PreintegratedImu:
-    """Single-factor preintegration (vmap over leading axis for a batch)."""
+    """Single-factor preintegration (vmap over leading axis for a batch).
+
+    mean_only=True (static) skips the bias Jacobians, the 15×15 covariance
+    propagation, and the final inverse/Cholesky — those per-step small
+    matmuls are ~80% of the scan's sequential device time, and state
+    PREDICTION (Estimator.addStates / real-time publishing, which only read
+    delta_q and the acc integrals) never consumes them. The skipped fields
+    return as zeros; factor evaluation must use the default full mode."""
     dtype = gyro.dtype
     dt_all, w0_all, w1_all, a0_all, a1_all = _interval_quantities(
         timestamps, gyro, acc, t0, t1
@@ -169,12 +177,6 @@ def preintegrate(
         dt, w0, w1, a0, a1 = xs
         active = dt > 0
 
-        # saturation -> 100x sigma inflation (ImuError.cpp:156-173)
-        sat_g = jnp.any(jnp.abs(jnp.stack([w0, w1])) > params.g_max)
-        sat_a = jnp.any(jnp.abs(jnp.stack([a0, a1])) > params.a_max)
-        sigma_g = jnp.where(sat_g, 100.0 * params.sigma_g_c, params.sigma_g_c)
-        sigma_a = jnp.where(sat_a, 100.0 * params.sigma_a_c, params.sigma_a_c)
-
         omega_true = 0.5 * (w0 + w1) - b_g
         acc_true = 0.5 * (a0 + a1) - b_a
 
@@ -184,13 +186,41 @@ def preintegrate(
         C = so3.quat_to_matrix(c.delta_q)
         C_1 = so3.quat_to_matrix(delta_q_1)
         C_sum = C + C_1
-        C_integral_1 = c.C_integral + 0.5 * C_sum * dt
-        acc_int_inc = 0.5 * C_sum @ acc_true * dt
-        acc_integral_1 = c.acc_integral + acc_int_inc
-        C_doubleintegral_1 = c.C_doubleintegral + c.C_integral * dt + 0.25 * C_sum * dt * dt
+        acc_integral_1 = c.acc_integral + 0.5 * C_sum @ acc_true * dt
         acc_doubleintegral_1 = (
             c.acc_doubleintegral + c.acc_integral * dt + 0.25 * C_sum @ acc_true * dt * dt
         )
+
+        if mean_only:
+            # prediction consumes only delta_q + the acc integrals; carry
+            # the heavy fields through untouched (selects on constants fuse
+            # to nothing)
+            new = Carry(
+                delta_q=delta_q_1,
+                C_integral=c.C_integral,
+                C_doubleintegral=c.C_doubleintegral,
+                acc_integral=acc_integral_1,
+                acc_doubleintegral=acc_doubleintegral_1,
+                cross=c.cross,
+                dalpha_db_g=c.dalpha_db_g,
+                dv_db_g=c.dv_db_g,
+                dp_db_g=c.dp_db_g,
+                P_delta=c.P_delta,
+                delta_t=c.delta_t + dt,
+            )
+            out = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(active, n, o), new, c
+            )
+            return out, None
+
+        # saturation -> 100x sigma inflation (ImuError.cpp:156-173)
+        sat_g = jnp.any(jnp.abs(jnp.stack([w0, w1])) > params.g_max)
+        sat_a = jnp.any(jnp.abs(jnp.stack([a0, a1])) > params.a_max)
+        sigma_g = jnp.where(sat_g, 100.0 * params.sigma_g_c, params.sigma_g_c)
+        sigma_a = jnp.where(sat_a, 100.0 * params.sigma_a_c, params.sigma_a_c)
+
+        C_integral_1 = c.C_integral + 0.5 * C_sum * dt
+        C_doubleintegral_1 = c.C_doubleintegral + c.C_integral * dt + 0.25 * C_sum * dt * dt
 
         # bias sub-Jacobians (ImuError.cpp:189-198)
         Jr = so3.right_jacobian(omega_true * dt)
@@ -242,7 +272,29 @@ def preintegrate(
         out = jax.tree_util.tree_map(lambda n, o: jnp.where(active, n, o), new, c)
         return out, None
 
-    final, _ = jax.lax.scan(step, init, (dt_all, w0_all, w1_all, a0_all, a1_all))
+    # the scan is latency-bound (tiny 3x3/quaternion ops in a sequential
+    # dependence chain; per-iteration loop overhead dominates the math) —
+    # full unroll lets XLA fuse across steps and cuts the prediction scan
+    # ~4x on TPU; bounded compile cost since windows are <=64 intervals
+    final, _ = jax.lax.scan(
+        step, init, (dt_all, w0_all, w1_all, a0_all, a1_all), unroll=True
+    )
+
+    if mean_only:
+        return PreintegratedImu(
+            delta_q=final.delta_q,
+            C_integral=final.C_integral,
+            C_doubleintegral=final.C_doubleintegral,
+            acc_integral=final.acc_integral,
+            acc_doubleintegral=final.acc_doubleintegral,
+            dalpha_db_g=final.dalpha_db_g,
+            dv_db_g=final.dv_db_g,
+            dp_db_g=final.dp_db_g,
+            P_delta=jnp.zeros((15, 15), dtype),
+            sqrt_info=jnp.zeros((15, 15), dtype),
+            delta_t=final.delta_t,
+            sb_ref=sb_ref,
+        )
 
     P = 0.5 * (final.P_delta + final.P_delta.T)
     # Invert via the correlation matrix: diag(P) spans ~1e-12 (biases) to
@@ -282,16 +334,23 @@ def propagate(
     acc: jnp.ndarray,
     t0: jnp.ndarray,
     t1: jnp.ndarray,
+    mean_only: bool = True,
 ) -> Tuple[SE3, jnp.ndarray]:
     """Forward state propagation T_WS(t0) -> T_WS(t1)
-    (ref static ImuError::propagation, ImuError.cpp:287-504).
+    (ref static ImuError::propagation, ImuError.cpp:287-504; the reference
+    also skips covariance/Jacobian propagation when the caller passes no
+    output for them — prediction callers never do — so mean_only is the
+    default here).
 
     Composes the preintegrated increment with gravity in the world frame:
         q1 = q0 * Δq
         v1 = v0 - g Δt + C_WS0 ∫C a dt
         r1 = r0 + v0 Δt - ½ g Δt² + C_WS0 ∫∫C a dt²
     """
-    pre = preintegrate(params, timestamps, gyro, acc, t0, t1, speed_and_bias)
+    pre = preintegrate(
+        params, timestamps, gyro, acc, t0, t1, speed_and_bias,
+        mean_only=mean_only,
+    )
     g_W = gravity_vector(params, dtype=gyro.dtype)
     C_WS0 = so3.quat_to_matrix(T_WS.q)
     dt = pre.delta_t

@@ -186,31 +186,113 @@ def run_pipeline_bench(
         )
 
     # ---- device-time ceiling: replay the captured steady-state programs
-    # in dispatch-amortized loops (queued executes, one final block) to
-    # measure pure chip time per frame — what a direct-attached chip sees.
-    # All five programs serialize on the one chip regardless of host
-    # threading, so their sum is the per-frame chip occupancy.
+    # wrapped in a lax.scan (ONE launch runs `depth` iterations on-device)
+    # so the measurement is pure chip time, immune to the transport's
+    # per-call dispatch cost. A Python-loop replay is kept as the
+    # dispatch-INCLUSIVE upper bound (what this image's tunneled client
+    # pays per call). All five programs serialize on the one chip
+    # regardless of host threading, so their sum is per-frame occupancy.
+    import functools
+
+    import jax.tree_util as jtu
+
+    def _scan_device_ms(fn, fargs, fkw, depth=64):
+        """Per-call device ms via an on-device scan of `depth` repeats.
+
+        The scan body perturbs one float input by the (≈0) carry and folds
+        every output leaf into the next carry — a data dependence chain
+        that stops XLA hoisting the loop-invariant body out of the scan or
+        dead-code-eliminating unconsumed outputs."""
+        fl = functools.partial(fn, **fkw) if fkw else fn
+        leaves, treedef = jtu.tree_flatten(fargs)
+        arr_idx = [i for i, l in enumerate(leaves) if hasattr(l, "dtype")]
+        pi = next(
+            k for k, i in enumerate(arr_idx)
+            if jnp.issubdtype(leaves[i].dtype, jnp.inexact)
+        )
+
+        def rebuild(arrs):
+            ls = list(leaves)
+            for i, a in zip(arr_idx, arrs):
+                ls[i] = a
+            return jtu.tree_unflatten(treedef, ls)
+
+        def run_fn(arrs):
+            def body(c, _):
+                a = list(arrs)
+                a[pi] = a[pi] + c.astype(a[pi].dtype)
+                out = fl(*rebuild(a))
+                s = sum(
+                    jnp.sum(o.astype(jnp.float32))
+                    for o in jtu.tree_leaves(out)
+                    if hasattr(o, "dtype")
+                )
+                return (s * 1e-30).astype(jnp.float32), None
+
+            return jax.lax.scan(body, jnp.float32(0.0), None, length=depth)[0]
+
+        run = jax.jit(run_fn)
+        arrs0 = [leaves[i] for i in arr_idx]
+        r = run(arrs0)
+        jax.block_until_ready(r)  # compile + warm
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = run(arrs0)
+        jax.block_until_ready(r)
+        return 1e3 * (time.perf_counter() - t0) / reps / depth
+
+    def _loop_dispatch_ms(fn, fargs, fkw, n_rep=100):
+        out = fn(*fargs, **fkw)
+        jax.block_until_ready(out)  # warm (already compiled)
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            out = fn(*fargs, **fkw)
+        jax.block_until_ready(out)
+        return 1e3 * (time.perf_counter() - t0) / n_rep
+
     dev_ms = {}
+    disp_ms = {}
     for tag, (fn, fargs, fkw) in sorted(capture.programs().items()):
         try:
-            out = fn(*fargs, **fkw)
-            jax.block_until_ready(out)  # warm (already compiled)
-            n_rep = 100
-            t0 = time.perf_counter()
-            for _ in range(n_rep):
-                out = fn(*fargs, **fkw)
-            jax.block_until_ready(out)
-            dev_ms[tag] = 1e3 * (time.perf_counter() - t0) / n_rep
+            disp_ms[tag] = _loop_dispatch_ms(fn, fargs, fkw)
+            dev_ms[tag] = _scan_device_ms(fn, fargs, fkw)
         except Exception as e:
             print(f"device replay failed for {tag}: {e!r}")
+            if tag in disp_ms:  # fall back to the dispatch-inclusive number
+                dev_ms[tag] = disp_ms[tag]
+    # blocking mode runs the full max-iteration solve; the reference's
+    # real-time operating point is min_iterations (3) + wall-clock top-ups
+    # (config_fpga_p2_euroc.yaml:60-62). Replay the min-iteration program on
+    # the same captured problem for the real-time ceiling.
+    rt_ms = dict(dev_ms)
+    if "optimize" in capture.programs():
+        try:
+            _fn, (problem,), _kw = capture.programs()["optimize"]
+            fn_min = vio.estimator._optimize_fn(params.optimization.min_iterations)
+            rt_ms["optimize"] = _scan_device_ms(fn_min, (problem,), {})
+        except Exception as e:
+            print(f"min-iteration replay failed: {e!r}")
     capture.enabled = False
     dev_total = sum(dev_ms.values())
     dev_fps = 1e3 / dev_total if dev_total > 0 else float("nan")
+    rt_total = sum(rt_ms.values())
+    rt_fps = 1e3 / rt_total if rt_total > 0 else float("nan")
     if dev_ms:
-        parts = ", ".join(f"{k} {v:.2f}" for k, v in dev_ms.items())
+        parts = ", ".join(
+            f"{k} {v:.2f} (disp {disp_ms.get(k, float('nan')):.2f})"
+            for k, v in dev_ms.items()
+        )
         print(
-            f"device time/frame (amortized replay): {dev_total:.2f} ms "
-            f"({parts}) -> {dev_fps:.0f} frames/s/chip ceiling"
+            f"device time/frame (scan-amortized; 'disp' = per-call incl. "
+            f"transport dispatch): {dev_total:.2f} ms ({parts}) -> "
+            f"{dev_fps:.0f} frames/s/chip ceiling"
+        )
+        print(
+            f"  at the real-time operating point (min_iterations="
+            f"{params.optimization.min_iterations} optimize "
+            f"{rt_ms.get('optimize', float('nan')):.2f} ms): {rt_total:.2f} "
+            f"ms/frame -> {rt_fps:.0f} frames/s/chip"
         )
 
     print(
@@ -230,6 +312,8 @@ def run_pipeline_bench(
         "frames": len(vio.trajectory),
         "device_ms_per_frame": round(dev_total, 3) if dev_ms else None,
         "device_fps_ceiling": round(dev_fps, 1) if dev_ms else None,
+        "device_ms_per_frame_rt": round(rt_total, 3) if dev_ms else None,
+        "device_fps_ceiling_rt": round(rt_fps, 1) if dev_ms else None,
     }
     print(json.dumps(result))
     return result

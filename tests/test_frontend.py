@@ -110,6 +110,19 @@ def test_descriptors_stable_under_translation(rng):
     assert np.median(diag) < 30, f"descriptor drift too large: {diag}"
 
 
+def test_blur_pyramid_toeplitz_matches_conv(rng):
+    """The production Toeplitz-matmul blur (MXU-shaped) must equal the conv
+    formulation to float rounding — same taps, same edge-replicate
+    clamping — so descriptor bits are preserved across the rewrite."""
+    from okvis_tpu.frontend.brisk import _blur_pyramid_conv, blur_pyramid
+
+    img = rng.random((2, 96, 130)).astype(np.float32) * 255.0
+    a = np.asarray(blur_pyramid(jnp.asarray(img)))
+    b = np.asarray(_blur_pyramid_conv(jnp.asarray(img)))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=0, atol=5e-3)
+
+
 # ---------------------------------------------------------------- triangulation
 def test_triangulate_exact(rng):
     p_true = jnp.asarray([0.4, -0.2, 5.0])
