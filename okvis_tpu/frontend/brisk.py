@@ -127,6 +127,11 @@ def blur_pyramid(images: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W) → (B, L, H, W): every pattern-sigma blur of every image as
     TWO banded-Toeplitz matmul contractions (horizontal then vertical).
 
+    Output is always float32 regardless of input dtype (the Toeplitz bank is
+    f32 and the contractions run at HIGHEST precision); descriptor sampling
+    downstream only compares smoothed intensities, so callers never need the
+    input dtype back.
+
     A separable blur with 1 input channel and L output channels is a
     worst-case conv for the MXU (the systolic array wants ≥128-deep channel
     contractions; C_in=1 leaves it ~1% utilized — measured 2.5 ms for

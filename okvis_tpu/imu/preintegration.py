@@ -274,10 +274,19 @@ def preintegrate(
 
     # the scan is latency-bound (tiny 3x3/quaternion ops in a sequential
     # dependence chain; per-iteration loop overhead dominates the math) —
-    # full unroll lets XLA fuse across steps and cuts the prediction scan
-    # ~4x on TPU; bounded compile cost since windows are <=64 intervals
+    # unrolling lets XLA fuse across steps and cuts the prediction scan
+    # ~4x on TPU. Full unroll is only safe in the cheap mean_only mode on
+    # short windows: in full mode the per-step 15x15 covariance/Jacobian
+    # math makes unconditional unroll compile pathologically (32 samples:
+    # 2.8s -> 15.2s; a 200-interval window never finishes), so long or full
+    # windows use a bounded unroll factor instead.
+    n_intervals = dt_all.shape[0]
+    if mean_only and n_intervals <= 64:
+        unroll = True
+    else:
+        unroll = min(8, max(n_intervals, 1))
     final, _ = jax.lax.scan(
-        step, init, (dt_all, w0_all, w1_all, a0_all, a1_all), unroll=True
+        step, init, (dt_all, w0_all, w1_all, a0_all, a1_all), unroll=unroll
     )
 
     if mean_only:
