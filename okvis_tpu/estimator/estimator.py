@@ -285,21 +285,32 @@ class Estimator:
     # ------------------------------------------------------------------
     # jitted device programs (built lazily, one per config)
     # ------------------------------------------------------------------
-    def _optimize_fn(self, max_iterations: Optional[int] = None):
-        """Jitted optimize step; one compiled variant per iteration count.
+    def _optimize_fn(
+        self,
+        max_iterations: Optional[int] = None,
+        LO: Optional[Tuple[int, int]] = None,
+    ):
+        """Jitted optimize step; one compiled variant per (iteration count,
+        capacity tier).
 
         The reference aborts Ceres mid-solve on a wall-clock limit
         (CeresIterationCallback.hpp:44-80). Compiled XLA programs cannot be
         aborted, so the time-limit knob maps to selecting a shorter-iteration
         variant (min/max from the config) — see ThreadedVio's adaptive
-        selection."""
-        key = ("opt", max_iterations, self._mesh is not None)
+        selection. `LO` (max_landmarks, max_observations) selects a reduced
+        capacity tier; the assembly is memory-bound in the PADDED sizes, so
+        small windows run ~2x faster in the small program."""
+        key = ("opt", max_iterations, self._mesh is not None, LO)
         if key not in self._jit_cache:
             cfg = (
                 self.cfg
                 if max_iterations is None
                 else dataclasses.replace(self.cfg, max_iterations=max_iterations)
             )
+            if LO is not None:
+                cfg = dataclasses.replace(
+                    cfg, max_landmarks=LO[0], max_observations=LO[1]
+                )
             if self._mesh is not None:
                 self._jit_cache[key] = self._make_sharded_fn(cfg)
             else:
@@ -310,13 +321,30 @@ class Estimator:
                 )
         return self._jit_cache[key]
 
-    def _optimize_continue_fn(self, chunk_iters: int = 1):
+    def _optimize_fn_for_problem(
+        self, problem, max_iterations: Optional[int] = None
+    ):
+        """The compiled variant matching `problem`'s (possibly tiered)
+        shapes — for replaying a captured problem (bench harnesses)."""
+        L = int(problem.lm_mask.shape[0])
+        O = int(problem.obs.mask.shape[0])
+        full = (self.cfg.max_landmarks, self.cfg.max_observations)
+        LO = None if (L, O) == full else (L, O)
+        return self._optimize_fn(max_iterations, LO=LO)
+
+    def _optimize_continue_fn(
+        self, chunk_iters: int = 1, LO: Optional[Tuple[int, int]] = None
+    ):
         """Jitted continuation chunk: re-enter the trust-region loop at the
         current iterate with a warm-started damping parameter (see
         optimize_window's trust0). Used by the wall-clock budget contract."""
-        key = ("opt_cont", chunk_iters)
+        key = ("opt_cont", chunk_iters, LO)
         if key not in self._jit_cache:
             cfg = dataclasses.replace(self.cfg, max_iterations=chunk_iters)
+            if LO is not None:
+                cfg = dataclasses.replace(
+                    cfg, max_landmarks=LO[0], max_observations=LO[1]
+                )
             self._jit_cache[key] = jax.jit(
                 functools.partial(
                     optimize_window, cfg, self.imu_params, self.intrinsics
@@ -324,12 +352,43 @@ class Estimator:
             )
         return self._jit_cache[key]
 
+    def _select_tier(self):
+        """Pick the smallest capacity tier that holds the live problem.
+
+        Returns None (full capacity) or a dict with the tier sizes, the
+        active landmark slots (compact order) and the slot->compact remap.
+        Tiering is identical math — every factor/mask is preserved, only
+        the padding shrinks — so selection is purely a perf decision; the
+        per-tier programs compile once and live in the jit cache."""
+        cfg = self.cfg
+        if not cfg.capacity_tiers or self._mesh is not None:
+            return None
+        n_obs = int(self._obs_cols.live[: self._obs_cols.n].sum())
+        n_lm = len(self.landmarks)
+        L, O = cfg.max_landmarks, cfg.max_observations
+        best = None
+        for d in cfg.tier_divisors:
+            if L % d or O % d:
+                continue
+            if n_lm <= L // d and n_obs <= O // d:
+                best = (L // d, O // d)
+                break  # divisors ordered largest-first = smallest tier first
+        if best is None:
+            return None
+        slots = np.fromiter(
+            (lm.slot for lm in self.landmarks.values()), np.int64, n_lm
+        )
+        remap = np.zeros(L, np.int32)
+        remap[slots] = np.arange(n_lm, dtype=np.int32)
+        return {"L": best[0], "O": best[1], "slots": slots, "remap": remap}
+
     def _optimize_deadline(
         self,
         problem,
         time_limit: float,
         min_iterations: int,
         max_iterations: int,
+        LO: Optional[Tuple[int, int]] = None,
     ):
         """Wall-clock optimization budget, the XLA mapping of the reference's
         mid-solve abort (CeresIterationCallback.hpp:44-80: Ceres stops when
@@ -345,9 +404,11 @@ class Estimator:
         from ..utils import syncstats
 
         t0 = _time.perf_counter()
-        states, diag = self._optimize_fn(min_iterations)(problem)
+        states, diag = self._optimize_fn(min_iterations, LO=LO)(problem)
         if capture.enabled:
-            capture.record("optimize", self._optimize_fn(min_iterations), problem)
+            capture.record(
+                "optimize", self._optimize_fn(min_iterations, LO=LO), problem
+            )
         # the deadline check needs real elapsed time: block on the scalar
         # cost (cheap transfer; the bulk state fetch still happens once at
         # the end of optimize())
@@ -357,7 +418,7 @@ class Estimator:
         hists = [diag.cost_history]
         accs = [diag.accepted]
         chunk_cost = None
-        cont = self._optimize_continue_fn(1)
+        cont = self._optimize_continue_fn(1, LO=LO)
         while iters < max_iterations:
             elapsed = _time.perf_counter() - t0
             # first prediction: one blocking round trip (= the min program's
@@ -817,18 +878,24 @@ class Estimator:
     # ------------------------------------------------------------------
     # problem assembly (host → device)
     # ------------------------------------------------------------------
-    def _build_problem(self, pre=None) -> BaProblem:
+    def _build_problem(self, pre=None, tier=None) -> BaProblem:
         """Assemble the padded device problem from host bookkeeping.
 
         Numpy-first: every field is built as one host array and converted with
         a single jnp.asarray (one transfer per field) — no per-element device
-        dispatches on the per-frame path."""
+        dispatches on the per-frame path.
+
+        With `tier` (from _select_tier), the landmark table is compacted to
+        the tier's L slots and the observation table padded only to the
+        tier's O — the solve is identical, the program ~2x faster."""
         self.resolve_pending_prop()
         cfg = self.cfg
         dt = self.dtype
         S, C, L, O = (
             cfg.num_states, cfg.num_cameras, cfg.max_landmarks, cfg.max_observations
         )
+        if tier is not None:
+            L, O = tier["L"], tier["O"]
         K = cfg.max_imu_links
 
         state_mask = np.zeros(S, bool)
@@ -837,8 +904,14 @@ class Estimator:
             state_mask[s.slot] = True
             sb_mask[s.slot] = s.sb_active
         lm_mask = np.zeros(L, bool)
-        for lm in self.landmarks.values():
-            lm_mask[lm.slot] = True
+        if tier is not None:
+            lm_mask[: tier["slots"].size] = True
+            hp_host = np.tile([0.0, 0, 0, 1], (L, 1))
+            hp_host[: tier["slots"].size] = self.hp_W[tier["slots"]]
+        else:
+            for lm in self.landmarks.values():
+                lm_mask[lm.slot] = True
+            hp_host = self.hp_W
 
         per_state = cfg.extrinsics_per_state
         states = WindowStates(
@@ -847,7 +920,7 @@ class Estimator:
             speed_and_bias=jnp.asarray(self.sb, dt),
             r_SC=jnp.asarray(self.r_SC, dt),
             q_SC=jnp.asarray(self.q_SC, dt),
-            hp_W=jnp.asarray(self.hp_W, dt),
+            hp_W=jnp.asarray(hp_host, dt),
             r_SC_t=jnp.asarray(self.r_SC_t, dt) if per_state else None,
             q_SC_t=jnp.asarray(self.q_SC_t, dt) if per_state else None,
         )
@@ -871,7 +944,8 @@ class Estimator:
         if n:
             o_state[:n] = cols.state_slot[rows]
             o_cam[:n] = cols.cam[rows]
-            o_lm[:n] = cols.lm_slot[rows]
+            lm_rows = cols.lm_slot[rows]
+            o_lm[:n] = tier["remap"][lm_rows] if tier is not None else lm_rows
             o_kp[:n] = cols.kp[rows]
             o_w[:n] = cols.w[rows]
             o_mask[:n] = True
@@ -886,7 +960,9 @@ class Estimator:
             assert len(live_obs) == n, (len(live_obs), n)
             for i, o in enumerate(live_obs):
                 assert o_state[i] == self.states[o.pose_id].slot
-                assert o_lm[i] == self.landmarks[o.lm_id].slot
+                slot = self.landmarks[o.lm_id].slot
+                expect = tier["remap"][slot] if tier is not None else slot
+                assert o_lm[i] == expect
                 assert o_cam[i] == o.cam_idx
                 assert np.all(o_kp[i] == o.keypoint)
         obs = Observations(
@@ -1081,7 +1157,9 @@ class Estimator:
         from ..utils.timing import Timing
 
         _tb0 = time.perf_counter()
-        problem = self._build_problem()
+        tier = self._select_tier()
+        LO = None if tier is None else (tier["L"], tier["O"])
+        problem = self._build_problem(tier=tier)
         Timing.add("host: build problem", time.perf_counter() - _tb0)
         if time_limit is not None and self._mesh is None:
             states, diag = self._optimize_deadline(
@@ -1091,11 +1169,14 @@ class Estimator:
                 max_iterations
                 if max_iterations is not None
                 else self.cfg.max_iterations,
+                LO=LO,
             )
         else:
-            states, diag = self._optimize_fn(max_iterations)(problem)
+            states, diag = self._optimize_fn(max_iterations, LO=LO)(problem)
             if capture.enabled:
-                capture.record("optimize", self._optimize_fn(max_iterations), problem)
+                capture.record(
+                    "optimize", self._optimize_fn(max_iterations, LO=LO), problem
+                )
         # pull back results in ONE blocking fetch (each separate np.array of
         # a device value is its own host↔device round trip)
         pulls = [states.r_WS, states.q_WS, states.speed_and_bias, states.hp_W]
@@ -1112,7 +1193,12 @@ class Estimator:
         syncstats.bump("optimize_fetch")
         fetched = [np.array(x) for x in jax.device_get(pulls)]
         _tu0 = time.perf_counter()
-        self.r_WS, self.q_WS, self.sb, self.hp_W = fetched[:4]
+        if tier is not None:
+            # scatter the compact landmark table back to the stable slots
+            self.r_WS, self.q_WS, self.sb = fetched[:3]
+            self.hp_W[tier["slots"]] = fetched[3][: tier["slots"].size]
+        else:
+            self.r_WS, self.q_WS, self.sb, self.hp_W = fetched[:4]
         i = 4
         if self.cfg.extrinsics_per_state:
             self.r_SC_t, self.q_SC_t = fetched[i], fetched[i + 1]
@@ -1133,7 +1219,9 @@ class Estimator:
                 self._landmark_quality_fn(problem._replace(states=states))
             )
         for lm in self.landmarks.values():
-            lm.quality = float(quality[lm.slot])
+            lm.quality = float(
+                quality[tier["remap"][lm.slot] if tier is not None else lm.slot]
+            )
             # a landmark becomes initialized once its 3x3 Hessian is
             # well-conditioned (depth observable) — ref landmark quality /
             # initialized semantics, Estimator.cpp:880-900

@@ -74,6 +74,13 @@ class WindowConfig:
     algorithm: str = "lm"  # 'lm' | 'dogleg' (reference runs Ceres DOGLEG)
     init_radius: float = 1e4  # dogleg initial trust-region radius
     dense_solver: str = "newton"  # 'newton' (MXU Newton-Schulz) | 'cholesky'
+    # Capacity-tiered optimize: the memory-bound assembly cost is
+    # proportional to the PADDED capacities, not the active counts, so the
+    # estimator compacts the live problem into the smallest precompiled
+    # (L/d, O/d) program that fits (measured 1.96x faster at d=4 on the
+    # same active problem, v5e). Identical math — padding rows are masked.
+    capacity_tiers: bool = True
+    tier_divisors: Tuple[int, ...] = (4, 2)
 
     @property
     def dense_dim(self) -> int:

@@ -269,7 +269,9 @@ def run_pipeline_bench(
     if "optimize" in capture.programs():
         try:
             _fn, (problem,), _kw = capture.programs()["optimize"]
-            fn_min = vio.estimator._optimize_fn(params.optimization.min_iterations)
+            fn_min = vio.estimator._optimize_fn_for_problem(
+                problem, params.optimization.min_iterations
+            )
             rt_ms["optimize"] = _scan_device_ms(fn_min, (problem,), {})
         except Exception as e:
             print(f"min-iteration replay failed: {e!r}")

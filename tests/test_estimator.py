@@ -467,3 +467,42 @@ def test_optimize_wall_clock_budget_contract():
     assert d1.cost_history.shape[0] == 5
     # LM accepts only improving steps, so more iterations never hurt
     assert float(d1.final_cost) <= float(d0.final_cost) + 1e-9
+
+
+def test_capacity_tiered_optimize_matches_full():
+    """The tiered solve (compact landmark table + reduced padding) is the
+    SAME math as the full-capacity program — padding rows are masked and
+    contribute exact zeros — so results must agree to float tolerance.
+    Also asserts a tier is actually selected for this small world."""
+    import dataclasses
+
+    from tests.helpers import build_estimator_world
+
+    est_full, _ = build_estimator_world(seed=13, n_frames=5, n_landmarks=60)
+    est_full.cfg = dataclasses.replace(est_full.cfg, capacity_tiers=False)
+    assert est_full._select_tier() is None
+    est_full.optimize()
+
+    est_tier, _ = build_estimator_world(seed=13, n_frames=5, n_landmarks=60)
+    tier = est_tier._select_tier()
+    assert tier is not None, "small world should fit a reduced tier"
+    assert tier["L"] < est_tier.cfg.max_landmarks
+    est_tier.optimize()
+
+    np.testing.assert_allclose(est_tier.r_WS, est_full.r_WS, atol=1e-9)
+    np.testing.assert_allclose(est_tier.q_WS, est_full.q_WS, atol=1e-9)
+    np.testing.assert_allclose(est_tier.sb, est_full.sb, atol=1e-9)
+    np.testing.assert_allclose(est_tier.hp_W, est_full.hp_W, atol=1e-9)
+    for lid, lm in est_full.landmarks.items():
+        assert abs(est_tier.landmarks[lid].quality - lm.quality) < 1e-6
+
+
+def test_capacity_tiered_deadline_contract():
+    """The wall-clock budget path must run the tiered programs too (min
+    program + 1-iteration continuation chunks at the tier shapes)."""
+    from tests.helpers import build_estimator_world
+
+    est, _ = build_estimator_world(seed=14, n_frames=5, n_landmarks=60)
+    assert est._select_tier() is not None
+    d = est.optimize(time_limit=1e9, min_iterations=2, max_iterations=4)
+    assert d.cost_history.shape[0] == 4
