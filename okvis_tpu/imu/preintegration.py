@@ -280,30 +280,56 @@ def preintegrate(
     # math makes unconditional unroll compile pathologically (32 samples:
     # 2.8s -> 15.2s; a 200-interval window never finishes), so long or full
     # windows use a bounded unroll factor instead.
-    n_intervals = dt_all.shape[0]
-    if mean_only and n_intervals <= 64:
-        unroll = True
-    else:
-        unroll = min(8, max(n_intervals, 1))
-    final, _ = jax.lax.scan(
-        step, init, (dt_all, w0_all, w1_all, a0_all, a1_all), unroll=unroll
-    )
-
     if mean_only:
+        # Parallel-prefix formulation — the prediction path consumes only
+        # delta_q + the acc integrals, all of which are associative
+        # accumulations: the orientation chain is a quaternion prefix
+        # product (lax.associative_scan, O(log N) depth instead of an
+        # N-step sequential scan), and both integrals become batched
+        # matvecs + cumulative sums over the prefix orientations. Same
+        # trapezoid algebra as the sequential scan (identical up to float
+        # reassociation); padded dt=0 intervals contribute exact identity/
+        # zero terms so no masking is needed.
+        omega_true = 0.5 * (w0_all + w1_all) - b_g  # (N,3)
+        acc_true = 0.5 * (a0_all + a1_all) - b_a
+        dts = dt_all[:, None]
+        dq = so3.delta_q(omega_true * dts)  # (N,4), dt=0 -> identity
+        Q = jax.lax.associative_scan(so3.quat_multiply, dq)  # inclusive
+        ident = so3.quat_identity(dtype=dtype)
+        P_pre = jnp.concatenate([ident[None], Q[:-1]], axis=0)  # exclusive
+        C_pre = so3.quat_to_matrix(P_pre)  # (N,3,3) at interval starts
+        C_post = so3.quat_to_matrix(Q)  # (N,3,3) at interval ends
+        C_sum = C_pre + C_post
+        incr_v = 0.5 * jnp.einsum("nij,nj->ni", C_sum, acc_true) * dts
+        prefix_v = jnp.cumsum(incr_v, axis=0) - incr_v  # exclusive
+        acc_integral = jnp.sum(incr_v, axis=0)
+        acc_dbl = jnp.sum(prefix_v * dts + 0.5 * incr_v * dts, axis=0)
+        zeros33 = jnp.zeros((3, 3), dtype)
         return PreintegratedImu(
-            delta_q=final.delta_q,
-            C_integral=final.C_integral,
-            C_doubleintegral=final.C_doubleintegral,
-            acc_integral=final.acc_integral,
-            acc_doubleintegral=final.acc_doubleintegral,
-            dalpha_db_g=final.dalpha_db_g,
-            dv_db_g=final.dv_db_g,
-            dp_db_g=final.dp_db_g,
+            delta_q=Q[-1],
+            C_integral=zeros33,
+            C_doubleintegral=zeros33,
+            acc_integral=acc_integral,
+            acc_doubleintegral=acc_dbl,
+            dalpha_db_g=zeros33,
+            dv_db_g=zeros33,
+            dp_db_g=zeros33,
             P_delta=jnp.zeros((15, 15), dtype),
             sqrt_info=jnp.zeros((15, 15), dtype),
-            delta_t=final.delta_t,
+            delta_t=jnp.sum(dt_all),
             sb_ref=sb_ref,
         )
+
+    n_intervals = dt_all.shape[0]
+    final, _ = jax.lax.scan(
+        step,
+        init,
+        (dt_all, w0_all, w1_all, a0_all, a1_all),
+        # bounded unroll: the full-mode per-step 15x15 covariance/Jacobian
+        # math makes unconditional unroll compile pathologically on long
+        # windows (a 200-interval window never finished)
+        unroll=min(8, max(n_intervals, 1)),
+    )
 
     P = 0.5 * (final.P_delta + final.P_delta.T)
     # Invert via the correlation matrix: diag(P) spans ~1e-12 (biases) to

@@ -268,3 +268,36 @@ def test_rk4_agrees_with_trapezoid(sim, params):
     r_gt, q_gt, v_gt = states[round(ts[-1], 9)]
     err_rk = np.linalg.norm(np.asarray(T_rk.r) - r_gt)
     assert err_rk < 5e-3
+
+
+def test_mean_only_parallel_matches_sequential_full():
+    """The prediction path's parallel-prefix formulation (associative
+    quaternion scan + cumsum integrals) must reproduce the sequential
+    trapezoid scan's mean quantities, including clipped integration bounds
+    and padded intervals."""
+    rng = np.random.default_rng(7)
+    P = 32
+    ts = np.cumsum(np.full(P, 0.005)) - 0.005
+    gyro = rng.normal(0, 0.4, (P, 3))
+    acc = rng.normal(0, 2.0, (P, 3)) + [0, 0, 9.81]
+    sb = np.concatenate(
+        [rng.normal(0, 0.3, 3), rng.normal(0, 0.01, 3), rng.normal(0, 0.05, 3)]
+    )
+    params = ImuParams.euroc()
+    # bounds clip mid-interval on both sides; the tail pads out
+    t0, t1 = 0.0123, 0.11
+    full = preintegrate(
+        params, jnp.asarray(ts), jnp.asarray(gyro), jnp.asarray(acc),
+        jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(sb), mean_only=False,
+    )
+    mo = preintegrate(
+        params, jnp.asarray(ts), jnp.asarray(gyro), jnp.asarray(acc),
+        jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(sb), mean_only=True,
+    )
+    for name in ("delta_q", "acc_integral", "acc_doubleintegral", "delta_t"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(mo, name)),
+            np.asarray(getattr(full, name)),
+            atol=1e-10,
+            err_msg=name,
+        )
