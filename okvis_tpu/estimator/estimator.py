@@ -523,18 +523,57 @@ class Estimator:
 
     @property
     def _marginalize_fn(self):
-        if "marg" not in self._jit_cache:
+        return self._marginalize_fn_LO(None)
+
+    def _marginalize_fn_LO(self, LO: Optional[Tuple[int, int]] = None):
+        """Jitted marginalization launch; one variant per capacity tier.
+
+        Like optimize, the absorb-evaluate cost is memory-bound in the
+        PADDED sizes while the absorbed factor set (a few landmarks + their
+        observations) is tiny — tiered programs keep the async launch from
+        occupying the chip at full-window cost."""
+        key = ("marg", LO)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            if LO is not None:
+                cfg = dataclasses.replace(
+                    cfg, max_landmarks=LO[0], max_observations=LO[1]
+                )
 
             def marg_step(problem, marg_dense, keep_dense, marg_lm):
                 eqs = evaluate(
-                    self.cfg, self.imu_params, self.intrinsics, problem, problem.states
+                    cfg, self.imu_params, self.intrinsics, problem, problem.states
                 )
                 return marginalize_system(
-                    self.cfg, eqs, marg_dense, keep_dense, marg_lm, 2.0 * eqs.cost
+                    cfg, eqs, marg_dense, keep_dense, marg_lm, 2.0 * eqs.cost
                 )
 
-            self._jit_cache["marg"] = jax.jit(marg_step)
-        return self._jit_cache["marg"]
+            self._jit_cache[key] = jax.jit(marg_step)
+        return self._jit_cache[key]
+
+    def _select_marg_tier(self, absorb_obs, marg_lm_slots):
+        """Capacity tier for the marginalization launch: smallest (L, O)
+        holding the absorbed observations and every referenced landmark
+        slot. Same exact-math compaction as _select_tier."""
+        cfg = self.cfg
+        if not cfg.capacity_tiers or self._mesh is not None:
+            return None
+        slots = sorted(set(marg_lm_slots) | {s for _o, s in absorb_obs})
+        n_obs = len(absorb_obs)
+        L, O = cfg.max_landmarks, cfg.max_observations
+        best = None
+        for d in cfg.tier_divisors:
+            if L % d or O % d:
+                continue
+            if len(slots) <= L // d and n_obs <= O // d:
+                best = (L // d, O // d)
+                break
+        if best is None:
+            return None
+        slots = np.asarray(slots, np.int64)
+        remap = np.zeros(L, np.int32)
+        remap[slots] = np.arange(slots.size, dtype=np.int32)
+        return {"L": best[0], "O": best[1], "slots": slots, "remap": remap}
 
     @property
     def _landmark_quality_fn(self):
@@ -1414,9 +1453,11 @@ class Estimator:
             absorb_links or absorb_obs or absorb_sb_priors or absorb_ext_links
             or self.marg_valid
         ):
+            m_tier = self._select_marg_tier(absorb_obs, marg_lm_slots)
+            m_LO = None if m_tier is None else (m_tier["L"], m_tier["O"])
             problem = self._build_marg_problem(
                 absorb_links, absorb_obs, absorb_sb_priors, marg_lm_slots,
-                marg_lm_mask, absorb_ext_links,
+                marg_lm_mask, absorb_ext_links, tier=m_tier,
             )
             keep_dense = np.asarray(
                 dense_dim_mask(
@@ -1425,17 +1466,20 @@ class Estimator:
                     None,
                 )
             ) & ~marg_dense
-            out = self._marginalize_fn(
+            # the problem's lm_mask IS the marginalized-landmark selector
+            # (identical in full mode; remapped in a tier)
+            marg_fn = self._marginalize_fn_LO(m_LO)
+            out = marg_fn(
                 problem,
                 jnp.asarray(marg_dense),
                 jnp.asarray(keep_dense),
-                jnp.asarray(marg_lm_mask),
+                problem.lm_mask,
             )
             if capture.enabled:
                 capture.record(
-                    "marginalize", self._marginalize_fn, problem,
+                    "marginalize", marg_fn, problem,
                     jnp.asarray(marg_dense), jnp.asarray(keep_dense),
-                    jnp.asarray(marg_lm_mask),
+                    problem.lm_mask,
                 )
             # keep the prior device-resident: no download here and no
             # re-upload in the next _build_problem — the marginalize launch
@@ -1549,22 +1593,33 @@ class Estimator:
 
     def _build_marg_problem(
         self, absorb_links, absorb_obs, absorb_sb_priors, marg_lm_slots,
-        marg_lm_mask, absorb_ext_links=(),
+        marg_lm_mask, absorb_ext_links=(), tier=None,
     ) -> BaProblem:
         """Problem holding exactly the factors to absorb, with states at FEJ
         linearization points (frozen for prior-covered states, current for
-        the landmarks being eliminated)."""
+        the landmarks being eliminated). With `tier` (from
+        _select_marg_tier) the landmark table is compacted to the referenced
+        slots and the padding reduced — identical math, smaller program."""
         cfg = self.cfg
+        if tier is not None:
+            cfg = dataclasses.replace(
+                cfg, max_landmarks=tier["L"], max_observations=tier["O"]
+            )
         per_state = cfg.extrinsics_per_state
         p = empty_problem(cfg, dtype=self.dtype)
 
+        if tier is not None:
+            hp_host = np.tile([0.0, 0, 0, 1], (tier["L"], 1))
+            hp_host[: tier["slots"].size] = self.hp_W[tier["slots"]]
+        else:
+            hp_host = self.hp_W
         states = p.states._replace(
             r_WS=jnp.asarray(self.fej_r_WS, self.dtype),
             q_WS=jnp.asarray(self.fej_q_WS, self.dtype),
             speed_and_bias=jnp.asarray(self.fej_sb, self.dtype),
             r_SC=jnp.asarray(self.fej_r_SC, self.dtype),
             q_SC=jnp.asarray(self.fej_q_SC, self.dtype),
-            hp_W=jnp.asarray(self.hp_W, self.dtype),
+            hp_W=jnp.asarray(hp_host, self.dtype),
             r_SC_t=jnp.asarray(self.fej_r_SC_t, self.dtype) if per_state else None,
             q_SC_t=jnp.asarray(self.fej_q_SC_t, self.dtype) if per_state else None,
         )
@@ -1574,7 +1629,7 @@ class Estimator:
 
         obs = p.obs
         if absorb_obs:
-            O = self.cfg.max_observations
+            O = cfg.max_observations
             o_state = np.zeros(O, np.int32)
             o_cam = np.zeros(O, np.int32)
             o_lm = np.zeros(O, np.int32)
@@ -1584,7 +1639,7 @@ class Estimator:
             for i, (o, slot) in enumerate(absorb_obs):
                 o_state[i] = self.states[o.pose_id].slot
                 o_cam[i] = o.cam_idx
-                o_lm[i] = slot
+                o_lm[i] = tier["remap"][slot] if tier is not None else slot
                 o_kp[i] = o.keypoint
                 o_w[i] = 8.0 / o.size
                 o_mask[i] = True
@@ -1676,7 +1731,13 @@ class Estimator:
                 mask=jnp.asarray(el_m),
             )
 
-        lm_mask = jnp.asarray(marg_lm_mask)
+        if tier is not None:
+            lm_mask_t = np.zeros(cfg.max_landmarks, bool)
+            if len(marg_lm_slots):
+                lm_mask_t[tier["remap"][np.asarray(marg_lm_slots, int)]] = True
+            lm_mask = jnp.asarray(lm_mask_t)
+        else:
+            lm_mask = jnp.asarray(marg_lm_mask)
         return p._replace(
             states=states,
             state_mask=jnp.asarray(state_mask),

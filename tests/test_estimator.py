@@ -506,3 +506,37 @@ def test_capacity_tiered_deadline_contract():
     assert est._select_tier() is not None
     d = est.optimize(time_limit=1e9, min_iterations=2, max_iterations=4)
     assert d.cost_history.shape[0] == 4
+
+
+def test_capacity_tiered_marginalization_matches_full():
+    """The tiered marginalization launch (compact landmark table) must
+    produce the same marginal prior H/b0/c0 as the full-capacity program,
+    and the subsequent optimize must agree."""
+    import dataclasses
+
+    from tests.helpers import build_estimator_world
+
+    results = []
+    for tiers_on in (False, True):
+        est, _ = build_estimator_world(seed=21, n_frames=7, n_landmarks=60)
+        if not tiers_on:
+            est.cfg = dataclasses.replace(est.cfg, capacity_tiers=False)
+        est.optimize()
+        est.apply_marginalization_strategy()
+        assert est.marg_valid
+        est.optimize()
+        results.append(
+            (
+                np.asarray(est.marg_H).copy(),
+                np.asarray(est.marg_b0).copy(),
+                float(np.asarray(est.marg_c0)),
+                est.r_WS.copy(),
+                est.hp_W.copy(),
+            )
+        )
+    (H0, b0, c0, r0, hp0), (H1, b1, c1, r1, hp1) = results
+    np.testing.assert_allclose(H1, H0, atol=1e-7 * max(1.0, np.abs(H0).max()))
+    np.testing.assert_allclose(b1, b0, atol=1e-7 * max(1.0, np.abs(b0).max()))
+    assert abs(c1 - c0) < 1e-6 * max(1.0, abs(c0))
+    np.testing.assert_allclose(r1, r0, atol=1e-8)
+    np.testing.assert_allclose(hp1, hp0, atol=1e-8)
