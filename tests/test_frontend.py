@@ -1268,3 +1268,41 @@ def test_mixed_spec_rig_fallback_path(rng):
     assert n3d == 2, f"expected a 3D-2D match in each camera, got {n3d}"
     assert int(cur.frames[0].landmark_ids[0]) == lm_of_cam[0]
     assert int(cur.frames[1].landmark_ids[0]) == lm_of_cam[1]
+
+
+def test_pooled_topk_matches_flat_selection():
+    """detect_keypoints' cell-pooled top-k (16x smaller top_k input) is an
+    EXACT selection: NMS survivors are > nms_radius apart, so no 4x4 cell
+    holds two, and every survivor reaches the pooled map."""
+    rng2 = np.random.default_rng(5)
+    H, W = 241, 317  # non-multiples of 4 exercise the -inf padding
+    sup = np.full((H, W), -np.inf, np.float32)
+    pts = []
+    for _ in range(300):
+        y, x = rng2.integers(1, H - 1), rng2.integers(1, W - 1)
+        if all(max(abs(y - py), abs(x - px)) > 4 for py, px in pts):
+            pts.append((y, x))
+    vals_in = rng2.uniform(10, 1e6, len(pts)).astype(np.float32)
+    vals_in[:10] = 777.0  # cross-cell ties
+    for (y, x), v in zip(pts, vals_in):
+        sup[y, x] = v
+    sup_j = jnp.asarray(sup)
+
+    K = 64
+    fv, fi = jax.lax.top_k(sup_j.ravel(), K)
+    fy, fx = np.asarray(fi) // W, np.asarray(fi) % W
+
+    cell = 4
+    Hp, Wp = -(-H // cell) * cell, -(-W // cell) * cell
+    sp = jnp.pad(sup_j, ((0, Hp - H), (0, Wp - W)), constant_values=-jnp.inf)
+    cells = sp.reshape(Hp // cell, cell, Wp // cell, cell)
+    cm = cells.max(axis=(1, 3))
+    Wc = Wp // cell
+    pv, ci = jax.lax.top_k(cm.ravel(), K)
+    cy, cx = ci // Wc, ci % Wc
+    patch = cells[cy, :, cx, :].reshape(K, cell * cell)
+    sub = jnp.argmax(patch, axis=1)
+    py, px = np.asarray(cy * cell + sub // cell), np.asarray(cx * cell + sub % cell)
+
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(pv))
+    assert set(zip(fy.tolist(), fx.tolist())) == set(zip(py.tolist(), px.tolist()))
