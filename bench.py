@@ -20,11 +20,8 @@ import jax
 import jax.numpy as jnp
 
 # persistent compilation cache: repeat bench runs skip the (remote) compile
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from okvis_tpu.utils import cachedir as _cachedir
+_cachedir.configure(jax, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 # 'high' (3-pass bf16 ~ f32 quality) matmuls: the TPU default single-pass
 # bf16 destroys BA conditioning (12x worse ATE); 'high' matches 'highest'
 # ATE on the full-pipeline study at +29% throughput

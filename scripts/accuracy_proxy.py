@@ -23,11 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from okvis_tpu.utils import cachedir as _cachedir
+_cachedir.configure(jax, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
 jax.config.update("jax_default_matmul_precision", "high")
 
 NS = 1_000_000_000

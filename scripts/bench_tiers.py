@@ -16,7 +16,8 @@ import functools, sys, time
 sys.path.insert(0, '/root/repo')
 import jax, jax.numpy as jnp
 import numpy as np
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from okvis_tpu.utils import cachedir as _cachedir
+_cachedir.configure(jax, "/root/repo/.jax_cache")
 jax.config.update("jax_default_matmul_precision", "high")
 
 from okvis_tpu.datasets.synthetic import build_ba_problem

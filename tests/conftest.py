@@ -6,6 +6,7 @@ CPU mesh (no TPU hardware needed for correctness tests).
 """
 
 import os
+import sys
 
 # XLA_FLAGS must be set before the CPU backend initializes (lazily, on first
 # use) — conftest import is early enough even though sitecustomize may have
@@ -24,12 +25,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: the suite is compile-dominated on this
-# 2-core box; repeat runs reuse compiled executables
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests"),
+# 2-core box; repeat runs reuse compiled executables. Machine-scoped — a
+# cache populated by a different host's CPU segfaults here (AOT feature
+# mismatch), see utils/cachedir.py.
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from okvis_tpu.utils import cachedir  # noqa: E402
+
+cachedir.configure(
+    jax, os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests")
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
