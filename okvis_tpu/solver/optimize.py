@@ -444,6 +444,11 @@ def optimize_windows_batched(
     serving) amortize kernel-launch latency across windows — throughput mode,
     where `optimize_window` is the latency mode. No reference analog: Ceres
     solves one problem per call (Estimator.cpp:842-906).
+
+    Caveat: with JAX's persistent compilation cache enabled, serializing the
+    vmapped full-LM executable for large batches can abort the process
+    (proto size limits in executable.serialize); disable the cache around
+    huge-batch compiles (jax_enable_compilation_cache=False).
     """
     return jax.vmap(
         lambda p: optimize_window(cfg, imu_params, intrinsics, p)
