@@ -203,18 +203,7 @@ def test_batched_windows_match_individual(world, rng):
     cfg, imu_params, intrinsics, problem, truth = world
     probs = [perturb_problem(problem, truth, rng) for _ in range(3)]
     batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *probs)
-    # The vmapped full-LM executable is the largest program in the suite;
-    # SERIALIZING it for the persistent compile cache aborts the process
-    # (jax compilation_cache.put_executable_and_time -> executable
-    # serialize hits proto size limits). Skip the cache for this compile.
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        states_b, diag_b = optimize_windows_batched(
-            cfg, imu_params, intrinsics, batched
-        )
-        jax.block_until_ready(states_b)
-    finally:
-        jax.config.update("jax_enable_compilation_cache", True)
+    states_b, diag_b = optimize_windows_batched(cfg, imu_params, intrinsics, batched)
     for i, p in enumerate(probs):
         s_i, d_i = optimize_window(cfg, imu_params, intrinsics, p)
         np.testing.assert_allclose(
