@@ -363,16 +363,21 @@ class Estimator:
         cfg = self.cfg
         if not cfg.capacity_tiers or self._mesh is not None:
             return None
+        if os.environ.get("OKVIS_CAPACITY_TIERS", "") in ("0", "marg"):
+            return None  # debug kill-switch ("marg" = marg-tier only)
         n_obs = int(self._obs_cols.live[: self._obs_cols.n].sum())
         n_lm = len(self.landmarks)
         L, O = cfg.max_landmarks, cfg.max_observations
         best = None
-        for d in cfg.tier_divisors:
-            if L % d or O % d:
-                continue
-            if n_lm <= L // d and n_obs <= O // d:
-                best = (L // d, O // d)
-                break  # divisors ordered largest-first = smallest tier first
+        if os.environ.get("OKVIS_CAPACITY_TIERS") == "fullsize":
+            best = (L, O)  # debug: compaction/remap at unchanged padding
+        else:
+            for d in cfg.tier_divisors:
+                if L % d or O % d:
+                    continue
+                if n_lm <= L // d and n_obs <= O // d:
+                    best = (L // d, O // d)
+                    break  # divisors largest-first = smallest tier first
         if best is None:
             return None
         slots = np.fromiter(
@@ -558,6 +563,8 @@ class Estimator:
         cfg = self.cfg
         if not cfg.capacity_tiers or self._mesh is not None:
             return None
+        if os.environ.get("OKVIS_CAPACITY_TIERS", "") in ("0", "opt"):
+            return None  # debug kill-switch ("opt" = optimize-tier only)
         slots = sorted(set(marg_lm_slots) | {s for _o, s in absorb_obs})
         n_obs = len(absorb_obs)
         L, O = cfg.max_landmarks, cfg.max_observations
@@ -1216,6 +1223,34 @@ class Estimator:
                 capture.record(
                     "optimize", self._optimize_fn(max_iterations, LO=LO), problem
                 )
+        if tier is not None and os.environ.get("OKVIS_TIER_CROSSCHECK"):
+            p_full = self._build_problem()
+            s2, d2 = self._optimize_fn(max_iterations)(p_full)
+            slots = tier["slots"]
+            dr = float(jnp.abs(states.r_WS - s2.r_WS).max())
+            dhp = float(
+                jnp.abs(states.hp_W[: slots.size] - s2.hp_W[slots]).max()
+            )
+            dc = float(jnp.abs(diag.final_cost - d2.final_cost))
+            tcfg = dataclasses.replace(
+                self.cfg, max_landmarks=tier["L"], max_observations=tier["O"]
+            )
+            c0_t = float(
+                evaluate(
+                    tcfg, self.imu_params, self.intrinsics, problem, problem.states
+                ).cost
+            )
+            c0_f = float(
+                evaluate(
+                    self.cfg, self.imu_params, self.intrinsics, p_full, p_full.states
+                ).cost
+            )
+            print(
+                f"[tier-crosscheck] L={tier['L']} O={tier['O']} "
+                f"dr={dr:.3e} dhp={dhp:.3e} dcost={dc:.3e} "
+                f"c0_tier={c0_t:.6f} c0_full={c0_f:.6f}",
+                flush=True,
+            )
         # pull back results in ONE blocking fetch (each separate np.array of
         # a device value is its own host↔device round trip)
         pulls = [states.r_WS, states.q_WS, states.speed_and_bias, states.hp_W]
