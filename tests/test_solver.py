@@ -4,6 +4,7 @@ perturb, optimize, assert recovery within the reference tolerances
 (T_WS within 0.1 m / 1e-2 rad, speed/bias within 0.04; TestEstimator.cpp:229-236)."""
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -196,22 +197,24 @@ def test_fused_reprojection_matches_per_camera_loop(world, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-12)
 
 
-def test_batched_windows_match_individual(world, rng):
-    """optimize_windows_batched == per-window optimize_window, exactly."""
-    from okvis_tpu.solver import optimize_windows_batched
+def test_batched_windows_match_individual():
+    """optimize_windows_batched == per-window optimize_window, exactly.
 
-    cfg, imu_params, intrinsics, problem, truth = world
-    probs = [perturb_problem(problem, truth, rng) for _ in range(3)]
-    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *probs)
-    states_b, diag_b = optimize_windows_batched(cfg, imu_params, intrinsics, batched)
-    for i, p in enumerate(probs):
-        s_i, d_i = optimize_window(cfg, imu_params, intrinsics, p)
-        np.testing.assert_allclose(
-            np.asarray(states_b.r_WS[i]), np.asarray(s_i.r_WS), rtol=1e-9, atol=1e-9
-        )
-        np.testing.assert_allclose(
-            np.asarray(diag_b.final_cost[i]), np.asarray(d_i.final_cost), rtol=1e-9
-        )
+    Runs in a SUBPROCESS (tests/_batched_windows_check.py): XLA:CPU
+    crashes natively when this compile lands late in the full pytest
+    process (5/5 full-suite runs, SIGSEGV/SIGABRT in compile or
+    executable serialize) while the identical check passes every time in
+    a fresh process. The contract is unchanged — the child asserts
+    batched == individual to 1e-9 and exits nonzero on any mismatch."""
+    import subprocess
+    import sys as _sys
+
+    script = os.path.join(os.path.dirname(__file__), "_batched_windows_check.py")
+    res = subprocess.run(
+        [_sys.executable, script], capture_output=True, text=True, timeout=1200
+    )
+    assert res.returncode == 0, f"child failed:\n{res.stdout}\n{res.stderr}"
+    assert "BATCHED_MATCHES_INDIVIDUAL_OK" in res.stdout
 
 
 def test_chunked_continuation_matches_monolithic(world, rng):
