@@ -216,11 +216,12 @@ class PoseGraph:
         )
 
     def optimize(self, max_iterations: int = 10, pcg_iters: int = 50,
-                 dtype=None) -> pgo.PgoResult:
+                 dtype=None, solver: str = "auto") -> pgo.PgoResult:
         """Run the jitted solver and write results back into the container."""
         res = pgo.optimize_pose_graph(self.to_arrays(dtype),
                                       max_iterations=max_iterations,
-                                      pcg_iters=pcg_iters)
+                                      pcg_iters=pcg_iters,
+                                      solver=solver)
         r = np.asarray(res.node_r, self.dtype)
         q = np.asarray(res.node_q, self.dtype)
         occ = self.node_mask

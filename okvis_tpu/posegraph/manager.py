@@ -50,6 +50,7 @@ class PoseGraphConfig:
     # solver
     max_iterations: int = 10
     pcg_iters: int = 60
+    solver: str = "auto"  # "dense" | "pcg" | "auto" (dense when 6N <= 2048)
     # culling
     cull_min_translation: float = 0.05
     cull_min_rotation: float = 0.05
@@ -193,7 +194,8 @@ class PoseGraphManager:
 
     def _optimize_and_update_correction(self, latest_id: int) -> None:
         self.graph.optimize(max_iterations=self.cfg.max_iterations,
-                            pcg_iters=self.cfg.pcg_iters)
+                            pcg_iters=self.cfg.pcg_iters,
+                            solver=self.cfg.solver)
         r_opt, q_opt = self.graph.get_pose(latest_id)
         r_vio, q_vio = self.vio_pose_of[latest_id]
         r_inv, q_inv = np_se3.inverse(r_vio, q_vio)

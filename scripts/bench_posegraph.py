@@ -47,17 +47,19 @@ def build_circle_graph(n_nodes: int, seed: int = 0) -> PoseGraph:
 def main():
     print("device:", jax.devices()[0])
     for n in (256, 1024):
-        g = build_circle_graph(n)
-        t0 = time.perf_counter()
-        g.optimize(max_iterations=8, pcg_iters=60)
-        compile_s = time.perf_counter() - t0
-        reps = 10
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            g.optimize(max_iterations=8, pcg_iters=60)
-        dt = (time.perf_counter() - t0) / reps
-        print(f"PGO n={n:5d} nodes: {dt*1e3:8.2f} ms/solve "
-              f"(8 LM iters x 60 PCG; first call {compile_s:.0f}s)")
+        for solver in ("pcg", "dense"):
+            g = build_circle_graph(n)
+            t0 = time.perf_counter()
+            g.optimize(max_iterations=8, pcg_iters=60, solver=solver)
+            compile_s = time.perf_counter() - t0
+            reps = 10
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                g.optimize(max_iterations=8, pcg_iters=60, solver=solver)
+            dt = (time.perf_counter() - t0) / reps
+            extra = "8 LM iters x 60 PCG" if solver == "pcg" else "8 LM iters, Cholesky"
+            print(f"PGO n={n:5d} nodes [{solver:5s}]: {dt*1e3:8.2f} ms/solve "
+                  f"({extra}; first call {compile_s:.0f}s)")
 
     # place recognition: query descriptor set vs the whole database
     from okvis_tpu.posegraph.place_recognition import KeyframeDatabase

@@ -66,6 +66,33 @@ class TestPoseGraphOptimizer:
         np.testing.assert_allclose(r_after, r_before, atol=1e-12)
         np.testing.assert_allclose(q_after, q_before, atol=1e-12)
 
+    def test_dense_equals_pcg(self, rng):
+        # the dense Cholesky path and the matrix-free PCG path compute the
+        # same LM step; converged results must agree
+        import copy
+
+        n = 30
+        g, gt = build_drifting_circle(rng, n)
+        r_l, q_l = np_se3.relative(*gt[n - 1], *gt[0])
+        g.add_edge(n - 1, 0, r_l, q_l, np.eye(6) * 100.0, kind=1)
+        g2 = copy.deepcopy(g)
+        res_d = g.optimize(max_iterations=12, solver="dense")
+        res_p = g2.optimize(max_iterations=12, pcg_iters=300, solver="pcg")
+        assert float(res_d.final_cost) <= 1.001 * float(res_p.final_cost) + 1e-9
+        np.testing.assert_allclose(float(res_d.initial_cost),
+                                   float(res_p.initial_cost), rtol=1e-9)
+        for i in range(n):
+            np.testing.assert_allclose(g.get_pose(i)[0], g2.get_pose(i)[0],
+                                       atol=1e-3)
+
+    def test_dense_gauge_node_stays_fixed(self, rng):
+        g, gt = build_drifting_circle(rng, 16)
+        r_before, q_before = g.get_pose(0)
+        g.optimize(max_iterations=5, solver="dense")
+        r_after, q_after = g.get_pose(0)
+        np.testing.assert_allclose(r_after, r_before, atol=1e-12)
+        np.testing.assert_allclose(q_after, q_before, atol=1e-12)
+
     def test_perfect_odometry_zero_cost(self):
         gt = circle_poses(12)
         g = PoseGraph(node_capacity=16, edge_capacity=32)
