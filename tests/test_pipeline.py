@@ -743,3 +743,75 @@ def test_distributed_plus_loop_closure_soak():
     gt_ts = (traj.ts * NS).astype(np.int64)
     ate = ate_rmse(est_ts, est_p, gt_ts, traj.r)
     assert ate is not None and ate < 0.06, f"soak ATE {ate}"
+
+
+@pytest.mark.slow
+def test_fault_injection_blackout_and_imu_gap():
+    """SURVEY §5.3 fault injection: a 2-frame detector blackout (lens
+    obscured — zero keypoints) followed later by a dropped IMU packet burst
+    must not crash or deadlock the pipeline; the faulted frames may shed,
+    and tracking must recover on the healthy tail."""
+    params = _make_params()
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(specs=tuple(specs), T_SC=T_SC, intrinsics=intrinsics)
+    rig.compute_overlaps()
+    traj = simulate_trajectory(duration=3.0, seed=81, motion_scale=0.4)
+    lms = make_landmarks(traj, 220, seed=82, radius=(3.0, 10.0))
+
+    vio = ThreadedVio(params, rig=rig, blocking=True, dtype=jnp.float64)
+    stub = StubDetector(rig, lms, max_kp=params.optimization.max_num_keypoints)
+    blackout = {10, 11}  # frames where the detector returns nothing
+
+    def faulty(cam_idx, image, T_WC=None):
+        fd = stub(cam_idx, image, T_WC)
+        if faulty.frame in blackout:
+            K = fd.keypoints.uv.shape[0]
+            return FrameData(
+                keypoints=Keypoints(uv=jnp.zeros((K, 2)), score=jnp.zeros(K),
+                                    mask=jnp.zeros(K, bool)),
+                descriptors=jnp.zeros_like(fd.descriptors),
+                landmark_ids=np.zeros(K, np.int64),
+            )
+        return fd
+
+    faulty.frame = 0
+    vio.frontend.detect_and_describe = faulty
+    vio.frontend.detect_and_describe_multi = lambda images, T_WS=None: [
+        faulty(c, img, None) for c, img in enumerate(images)
+    ]
+
+    frame_dt = 0.1
+    imu_rate = 200
+    n_frames = 26
+    imu_gap_frames = {17}  # IMU packets for this frame interval are dropped
+    img = np.zeros((480, 752), np.float32)
+    imu_i = 0
+    for fi in range(n_frames):
+        t_ns = int(fi * frame_dt * NS)
+        idx = int(round(fi * frame_dt * imu_rate))
+        while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:
+            if fi not in imu_gap_frames:
+                vio.add_imu_measurement(
+                    int(traj.ts[imu_i] * NS), traj.gyro[imu_i], traj.acc[imu_i]
+                )
+            imu_i += 1
+        faulty.frame = fi
+        stub.T_WS_true = kin.SE3(r=jnp.asarray(traj.r[idx]), q=jnp.asarray(traj.q[idx]))
+        vio.add_image(t_ns, 0, img)
+        vio.add_image(t_ns, 1, img)
+        vio.wait_idle(timeout=120)
+    vio.shutdown()
+
+    # faulted frames (and their immediate successors while re-associating)
+    # may drop; the pipeline must keep the large majority and stay accurate
+    # on the healthy tail after BOTH faults
+    assert len(vio.trajectory) >= n_frames - 6, (
+        f"only {len(vio.trajectory)} of {n_frames} frames survived the faults"
+    )
+    tail = [s for s in vio.trajectory if s.timestamp_ns >= int(19 * frame_dt * NS)]
+    assert len(tail) >= 5, "pipeline never recovered after the IMU gap"
+    est_ts = np.asarray([s.timestamp_ns for s in tail])
+    est_p = np.stack([np.asarray(s.T_WS.r) for s in tail])
+    gt_ts = (traj.ts * NS).astype(np.int64)
+    ate = ate_rmse(est_ts, est_p, gt_ts, traj.r)
+    assert ate is not None and ate < 0.2, f"post-fault tail ATE {ate}"
