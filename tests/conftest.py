@@ -40,6 +40,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Free compiled executables at every module boundary.
+
+    XLA:CPU segfaults natively while compiling once a long-lived process
+    has accumulated hundreds of live compiled executables (see the
+    collection hook below; the crash site wanders — optimize_window-class
+    programs, then a trivial quat_normalize jit ~215 tests in — while any
+    module alone passes every time). Dropping executables between modules
+    keeps the live count bounded at the cost of cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
