@@ -1,19 +1,33 @@
-"""Benchmark: sliding-window BA throughput on the current device.
+"""Benchmark: end-to-end pipeline frames/s per chip (+ BA solver throughput).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE final JSON line {"metric", "value", "unit", "vs_baseline", ...}
+(the driver parses the LAST JSON line).
 
-The headline metric this round is backend frames/s: complete optimize()
-steps (LM + Schur over a full EuRoC-sized window: 8 states, 2 cameras,
-512 landmark slots, 2048 observation slots, 3 LM iterations — the
-min-iteration operating point of the reference config
-/root/reference/config/config_fpga_p2_euroc.yaml:60-62) per second on one
-chip. vs_baseline compares against the reference's 20 frames/s real-time
-CPU operating point (BASELINE.md).
+Headline metric: `pipeline_frames_per_s_chip` — the measured device-time
+ceiling of the COMPLETE per-frame hot path (detection, description, fused
+association + RANSAC + stereo, IMU propagation, sliding-window BA optimize,
+marginalization) on one chip. Methodology: run the 35-frame real-vision
+pipeline study with program capture enabled, then replay each captured
+steady-state program wrapped in an on-device lax.scan so the measurement is
+pure chip time, immune to this image's ~100 ms-per-call TPU tunnel dispatch
+(scripts/bench_pipeline.py). The blocking-mode (full 10-iteration solve)
+ceiling is the headline — the conservative of the two operating modes; the
+real-time (min-iteration + wall-clock top-up) ceiling is reported alongside.
+
+vs_baseline compares against the reference's 20 frames/s real-time CPU
+operating point (/root/reference/config/config_fpga_p2_euroc.yaml:27,62;
+BASELINE.md). The BASELINE.json target is >=5x (>=100 frames/s/chip).
+
+Secondary metric (also printed, and the fallback headline if the pipeline
+study fails): `ba_window_optimize_steps_per_s` — complete optimize() steps
+(LM + Schur over a full EuRoC-sized window: 8 states, 2 cameras, 512
+landmark slots, 2048 observation slots, 3 LM iterations) per second.
 """
 
 import functools
 import json
 import os
+import sys
 import time
 
 import jax
@@ -28,11 +42,11 @@ _cachedir.configure(jax, os.path.join(os.path.dirname(os.path.abspath(__file__))
 jax.config.update("jax_default_matmul_precision", "high")
 
 
-def main():
+def ba_bench():
+    """BA solver-step throughput; returns steps/s (prints a labeled line)."""
     from okvis_tpu.datasets.synthetic import build_ba_problem
     from okvis_tpu.solver import optimize_window
 
-    dtype_bits = 32  # TPU operating point
     cfg, imu_params, intrinsics, problem, truth = build_ba_problem(
         num_frames=8,
         frame_stride=20,
@@ -46,7 +60,7 @@ def main():
             max_imu_links=7,
         ),
     )
-    # cast to f32 for the device benchmark
+    # cast to f32 for the device benchmark (TPU operating point)
     problem = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x, problem
     )
@@ -70,41 +84,66 @@ def main():
         states, diag = opt(problem)
     jax.block_until_ready(states)
     dt = (time.perf_counter() - t0) / n_iter
-
-    frames_per_s = 1.0 / dt
-    baseline = 20.0  # reference real-time operating point on CPU
-    print(
-        json.dumps(
-            {
-                "metric": "ba_window_optimize_steps_per_s",
-                "value": round(frames_per_s, 2),
-                "unit": "optimize steps/s/chip",
-                "vs_baseline": round(frames_per_s / baseline, 3),
-            }
-        )
-    )
+    steps_per_s = 1.0 / dt
+    print(f"ba_window_optimize: {steps_per_s:.1f} steps/s/chip")
+    return steps_per_s
 
 
-def main_with_pipeline():
-    """Emit BOTH metrics: the full-pipeline frames/s (real vision path,
-    scripts/bench_pipeline) first, then the BA solver-step throughput as the
-    final headline line (the driver parses the last JSON line).
+def main():
+    baseline = 20.0  # reference real-time frames/s on CPU (35 ms budget)
 
-    Set OKVIS_BENCH_SKIP_PIPELINE=1 to run only the BA bench."""
+    pipeline = None
     if os.environ.get("OKVIS_BENCH_SKIP_PIPELINE", "") != "1":
         try:
-            import sys
-
             sys.path.insert(
                 0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
             )
             from bench_pipeline import run_pipeline_bench
 
-            run_pipeline_bench(n_frames=35)
-        except Exception as e:  # the headline BA metric must still print
+            pipeline = run_pipeline_bench(n_frames=35)
+        except Exception as e:  # a headline metric must still print
             print(f"pipeline bench failed: {e!r}")
-    main()
+
+    try:
+        steps_per_s = ba_bench()
+    except Exception as e:
+        print(f"ba bench failed: {e!r}")
+        steps_per_s = None
+
+    if pipeline is not None and pipeline.get("device_fps_ceiling"):
+        value = pipeline["device_fps_ceiling"]
+        out = {
+            "metric": "pipeline_frames_per_s_chip",
+            "value": round(value, 1),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(value / baseline, 3),
+            # real-time operating point (min-iteration solve + top-ups)
+            "frames_per_s_realtime": pipeline.get("device_fps_ceiling_rt"),
+            "device_ms_per_frame": pipeline.get("device_ms_per_frame"),
+            "ate_m": pipeline.get("ate_m"),
+            "blocking_syncs_per_frame": pipeline.get("blocking_syncs_per_frame"),
+            "wall_fps_via_tunnel": pipeline.get("value"),
+            "ba_optimize_steps_per_s": (
+                round(steps_per_s, 1) if steps_per_s else None
+            ),
+        }
+    elif steps_per_s is not None:
+        out = {
+            "metric": "ba_window_optimize_steps_per_s",
+            "value": round(steps_per_s, 2),
+            "unit": "optimize steps/s/chip",
+            "vs_baseline": round(steps_per_s / baseline, 3),
+        }
+    else:
+        out = {
+            "metric": "pipeline_frames_per_s_chip",
+            "value": 0.0,
+            "unit": "frames/s/chip",
+            "vs_baseline": 0.0,
+            "error": "both benches failed",
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main_with_pipeline()
+    main()

@@ -52,8 +52,13 @@ class ImuParams(NamedTuple):
     rate: int = 200  # nominal IMU rate [Hz]
 
     @staticmethod
-    def euroc(dtype=jnp.float64) -> "ImuParams":
-        """Values from /root/reference/config/config_fpga_p2_euroc.yaml:34-47."""
+    def euroc(dtype=None) -> "ImuParams":
+        """Values from /root/reference/config/config_fpga_p2_euroc.yaml:34-47.
+
+        dtype=None follows the runtime x64 setting (no truncation warnings
+        on f32-only backends)."""
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         f = lambda v: jnp.asarray(v, dtype=dtype)
         return ImuParams(
             sigma_g_c=f(12.0e-4),

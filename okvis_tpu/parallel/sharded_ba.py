@@ -290,14 +290,9 @@ def _sharded_solve(cfg, cfg_local, eqs, state_mask, lm_mask, lam, sb_mask, axis)
     b_red = b_red * mf
     s = jnp.sqrt(jnp.clip(jnp.diagonal(H_red), 1e-12, None))
     Hs = H_red / (s[:, None] * s[None, :]) + 1e-10 * jnp.eye(D, dtype=dtype)
-    if cfg.dense_solver == "cholesky":
-        Lc = jnp.linalg.cholesky(Hs)
-        y = jax.scipy.linalg.solve_triangular(Lc, b_red / s, lower=True)
-        delta_d = jax.scipy.linalg.solve_triangular(Lc.T, y, lower=False) / s
-    else:
-        from ..solver.optimize import _spd_solve_newton
+    from ..solver.optimize import solve_scaled_spd
 
-        delta_d = _spd_solve_newton(Hs, b_red / s) / s
+    delta_d = solve_scaled_spd(Hs, b_red / s, cfg.dense_solver) / s
     delta_d = delta_d * mf
 
     rhs_l = eqs.b_l - jnp.einsum("ldk,d->lk", eqs.W, delta_d)

@@ -217,7 +217,11 @@ class PoseGraph:
 
     def optimize(self, max_iterations: int = 10, pcg_iters: int = 50,
                  dtype=None, solver: str = "auto") -> pgo.PgoResult:
-        """Run the jitted solver and write results back into the container."""
+        """Run the jitted solver and write results back into the container.
+
+        ``pcg_iters`` applies only when the resolved solver is "pcg"; under
+        solver="auto" (default) graphs at capacity <= 341 nodes solve with
+        the dense Cholesky path and ignore it."""
         res = pgo.optimize_pose_graph(self.to_arrays(dtype),
                                       max_iterations=max_iterations,
                                       pcg_iters=pcg_iters,

@@ -49,6 +49,8 @@ class PoseGraphConfig:
     odom_sigma_r: float = 0.003
     # solver
     max_iterations: int = 10
+    # pcg_iters/pcg_tol apply only when the resolved solver is "pcg" — with
+    # solver="auto" and node_capacity <= 341 the dense path ignores them
     pcg_iters: int = 60
     solver: str = "auto"  # "dense" | "pcg" | "auto" (dense when 6N <= 2048)
     # culling

@@ -209,9 +209,22 @@ def optimize_pose_graph(
     60 PCG rounds leave the step unconverged), or "auto" (dense when
     6N <= 2048 — the manager's default capacity — else pcg; XLA's
     panel-sequential Cholesky loses to PCG above ~512 nodes).
+
+    ``pcg_iters``/``pcg_tol`` apply ONLY when the resolved solver is "pcg" —
+    under "auto" a graph at capacity <= 341 nodes solves densely and ignores
+    them. An explicit solver="dense" materializes an (N,N,6,6) block tensor
+    plus the (6N,6N) matrix per LM iteration (~2x ~300 MB at N=1024 in f64);
+    requests beyond 4x the auto threshold are refused — pass solver="pcg"
+    (or keep "auto") for large graphs.
     """
     if solver == "auto":
         solver = "dense" if g.node_r.shape[0] * 6 <= 2048 else "pcg"
+    elif solver == "dense" and g.node_r.shape[0] * 6 > 4 * 2048:
+        raise ValueError(
+            f"solver='dense' at {g.node_r.shape[0]} nodes would materialize "
+            f"a {g.node_r.shape[0] * 6}^2 Hessian (plus the (N,N,6,6) block "
+            "tensor) per LM iteration — use solver='pcg' or 'auto'"
+        )
     if solver not in ("dense", "pcg"):
         raise ValueError(f"unknown pose-graph solver {solver!r}")
     dtype = g.node_r.dtype
@@ -237,9 +250,12 @@ def optimize_pose_graph(
 
         diagB = jnp.diagonal(B, axis1=1, axis2=2)  # (N, 6)
 
+        # NOTE: keep this operator's damping identical to B_damped below —
+        # "dense" and "pcg" must solve the SAME damped system (the tests
+        # assert step-equivalence between the two paths).
         def matvec(v):
             jtjv = vjp_fn(jvp_fn(v))[0]
-            return (jtjv + lam * diagB * v + lam * 1e-8 * v) * free[:, None]
+            return (jtjv + lam * diagB * v + (lam * 1e-8 + 1e-12) * v) * free[:, None]
 
         eye = jnp.eye(6, dtype=dtype)
         B_damped = B + lam * diagB[:, :, None] * eye + (lam * 1e-8 + 1e-12) * eye

@@ -124,6 +124,33 @@ def _spd_solve_newton(Hs: jnp.ndarray, rhs: jnp.ndarray, iters: int = 34) -> jnp
     return X @ rhs
 
 
+def _chol_solve(Hs: jnp.ndarray, bs: jnp.ndarray) -> jnp.ndarray:
+    L = jnp.linalg.cholesky(Hs)
+    y = jax.scipy.linalg.solve_triangular(L, bs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def solve_scaled_spd(Hs: jnp.ndarray, bs: jnp.ndarray, solver: str) -> jnp.ndarray:
+    """Solve the Jacobi-scaled SPD system with the configured dense solver.
+
+    solver='newton' runs the MXU Newton-Schulz inverse, then checks the
+    relative residual ‖Hs·x − bs‖/‖bs‖ IN-PROGRAM: conditioning beyond the
+    fixed iteration count's coverage (~1e8 — e.g. a near-singular marginal
+    prior after a long run) would otherwise fail silently and surface only
+    as drift. Above tolerance a lax.cond falls back to the exact Cholesky
+    factorization — the expensive branch executes on-device only when the
+    iteration actually failed, so the common case pays one extra matvec."""
+    if solver == "cholesky":
+        return _chol_solve(Hs, bs)
+    x = _spd_solve_newton(Hs, bs)
+    resid = jnp.linalg.norm(Hs @ x - bs) / jnp.maximum(
+        jnp.linalg.norm(bs), jnp.asarray(1e-30, bs.dtype)
+    )
+    return jax.lax.cond(
+        resid > 1e-3, lambda ops: _chol_solve(*ops), lambda ops: x, (Hs, bs)
+    )
+
+
 def dense_dim_mask(
     cfg: WindowConfig, state_mask: jnp.ndarray, sb_mask: jnp.ndarray = None
 ) -> jnp.ndarray:
@@ -187,12 +214,7 @@ def solve_normal_eqs(
     # Jacobi preconditioning keeps the dense solve well-scaled in f32 on TPU
     s = jnp.sqrt(jnp.clip(jnp.diagonal(H_red), 1e-12, None))
     Hs = H_red / (s[:, None] * s[None, :]) + 1e-10 * jnp.eye(D, dtype=dtype)
-    if cfg.dense_solver == "cholesky":
-        L = jnp.linalg.cholesky(Hs)
-        y = jax.scipy.linalg.solve_triangular(L, b_red / s, lower=True)
-        delta_d = jax.scipy.linalg.solve_triangular(L.T, y, lower=False) / s
-    else:
-        delta_d = _spd_solve_newton(Hs, b_red / s) / s
+    delta_d = solve_scaled_spd(Hs, b_red / s, cfg.dense_solver) / s
     delta_d = delta_d * mf
 
     # back-substitute landmarks

@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..cameras.pinhole import CameraSpec
@@ -213,8 +214,14 @@ class BaProblem(NamedTuple):
     ext_links: ExtLinks = None  # only when cfg.extrinsics_per_state
 
 
-def empty_problem(cfg: WindowConfig, dtype=jnp.float64) -> BaProblem:
-    """Allocate an all-masked-out problem (identity quaternions everywhere)."""
+def empty_problem(cfg: WindowConfig, dtype=None) -> BaProblem:
+    """Allocate an all-masked-out problem (identity quaternions everywhere).
+
+    `dtype=None` follows the runtime x64 setting (f64 under
+    `jax_enable_x64`, f32 otherwise) so default allocations never trigger
+    XLA truncation warnings on f32-only backends."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     S, C, L, O = cfg.num_states, cfg.num_cameras, cfg.max_landmarks, cfg.max_observations
     K = cfg.max_imu_links
     D = cfg.dense_dim
