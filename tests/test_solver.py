@@ -184,11 +184,12 @@ def test_newton_schulz_solve_matches_cholesky(rng):
         assert rel < 1e-8, f"cond={cond}: rel err {rel}"
 
 
-def test_newton_schulz_fallback_on_extreme_conditioning(rng):
-    """Adversarial conditioning beyond the fixed Newton-Schulz iteration
-    count (cond ~1e12 ≈ a near-singular marginal prior after a long run):
-    the in-program residual check must detect the failed iteration and fall
-    back to the Cholesky path (VERDICT r4 weak #7)."""
+def test_newton_schulz_extreme_conditioning_coverage(rng):
+    """Adversarial conditioning (cond ~1e12 ≈ a near-singular marginal
+    prior after a long run, beyond the callers' 1e-10-floor cap): the
+    46-doubling Newton-Schulz count must solve it accurately with NO
+    fallback — the monotone-SPD-convergence guarantee that replaced the
+    lax.cond residual net (VERDICT r4 weak #7; BENCH_NOTES round 5)."""
     from okvis_tpu.solver.optimize import _spd_solve_newton, solve_scaled_spd
 
     n = 162
@@ -201,10 +202,11 @@ def test_newton_schulz_fallback_on_extreme_conditioning(rng):
     b = rng.normal(size=n)
     x_ref = np.linalg.solve(Hs, b)
 
-    # prove the raw iteration actually fails here (the test exercises the net)
-    x_raw = np.asarray(_spd_solve_newton(jnp.asarray(Hs), jnp.asarray(b)))
-    raw_resid = np.linalg.norm(Hs @ x_raw - b) / np.linalg.norm(b)
-    assert raw_resid > 1e-3, f"expected raw NS failure, resid {raw_resid}"
+    # the old 34-doubling count genuinely fails here — the deeper count is
+    # load-bearing, not slack
+    x34 = np.asarray(_spd_solve_newton(jnp.asarray(Hs), jnp.asarray(b), iters=34))
+    resid34 = np.linalg.norm(Hs @ x34 - b) / np.linalg.norm(b)
+    assert resid34 > 1e-3, f"expected 34-iteration failure, resid {resid34}"
 
     x = np.asarray(
         jax.jit(lambda A, r: solve_scaled_spd(A, r, "newton"))(
@@ -212,22 +214,12 @@ def test_newton_schulz_fallback_on_extreme_conditioning(rng):
         )
     )
     rel = np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref)
-    # eps·cond ≈ 1e-16·1e12 = 1e-4 is the attainable accuracy at this
-    # conditioning; the raw NS residual above proves the net engaged
-    assert rel < 1e-4, f"fallback solve rel err {rel}"
-
-    # benign systems must still take the Newton-Schulz result unchanged
-    w2 = np.geomspace(1e-4, 1.0, n)
-    H2 = (q * w2) @ q.T
-    d2 = np.sqrt(np.diag(H2))
-    Hs2 = H2 / np.outer(d2, d2)
-    x2 = np.asarray(
-        jax.jit(lambda A, r: solve_scaled_spd(A, r, "newton"))(
-            jnp.asarray(Hs2), jnp.asarray(b)
-        )
-    )
-    x2_ns = np.asarray(_spd_solve_newton(jnp.asarray(Hs2), jnp.asarray(b)))
-    np.testing.assert_allclose(x2, x2_ns, rtol=0, atol=0)
+    # eps·cond ≈ 1e-16·1e12 = 1e-4 is the attainable accuracy here
+    assert rel < 1e-4, f"46-doubling solve rel err {rel}"
+    resid = np.linalg.norm(Hs @ x - b) / np.linalg.norm(b)
+    # roundoff-floor-limited (~eps·cond), not iteration-limited: the
+    # 34-iteration residual above is >1e-3, i.e. 2+ orders worse
+    assert resid < 1e-4, f"residual {resid}"
 
 
 def test_fused_reprojection_matches_per_camera_loop(world, rng):
