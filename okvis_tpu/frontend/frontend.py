@@ -334,6 +334,20 @@ class Frontend:
             self._associate_batched(
                 estimator, [last_mf], multiframe, T_WS_prop, apply_ransac=True,
             )
+            # the reference also runs the 2D-2D RANSAC against the LAST
+            # frame while uninitialized (Frontend.cpp:513-516); when the
+            # translational model decisively wins there, flip tracking to
+            # initialized — the keyframe-round signal alone starves once
+            # the single bootstrap keyframe leaves the field of view
+            # (measured mono-loop bootstrap, BENCH_NOTES round 5). The pose
+            # itself stays IMU-predicted (initialize_pose=False).
+            if not self.is_initialized:
+                rotation_only = self._ransac_2d2d(
+                    estimator, last_mf, multiframe,
+                    initialize_pose=False, remove_outliers=False,
+                )
+                if not rotation_only:
+                    self.is_initialized = True
 
         # --- stereo matching within the multiframe (Frontend.cpp:238-268):
         # resolved from the fused launch's precomputed results when present,
@@ -690,6 +704,14 @@ class Frontend:
             )
             for c in range(C)
         ]
+        # current-frame camera centers (world) — the 2D-2D creation branch
+        # compares triangulated depth against the pair baseline
+        cam_centers_b = [
+            np_se3.compose(
+                r_b_np, q_b_np, estimator.r_SC[c], estimator.q_SC[c]
+            )[0]
+            for c in range(C)
+        ]
 
         # ---------- host resolution, in phases ----------
         # phase 1 = primary (keyframe) sources, phase 2 = the folded
@@ -824,15 +846,53 @@ class Frontend:
                                     claimed.add(lm_a)
                             continue
                         lm_id = IdProvider.new_id()
+                        par_flag = bool(par_all[p, cam, ia]) or abs(w) < 1e-6
+                        ci = bool(ci_all[p, cam, ia])
                         try:
-                            if par_all[p, cam, ia] or abs(w) < 1e-6:
+                            if par_flag:
                                 estimator.add_landmark(lm_id, hp, initialized=False)
+                            elif not ci:
+                                # depth-unobservable finite triangulation
+                                # (ref canBeInitialized, setBestMatch
+                                # :398-441). Distinguish two regimes by
+                                # depth/baseline ratio:
+                                # - parallax below the noise floor (ratio >
+                                #   500 ≈ <0.4 px at EuRoC focal): a finite
+                                #   midpoint is pure junk depth whose
+                                #   reprojection factors outvote the IMU and
+                                #   pin the trajectory static (measured
+                                #   mono-bootstrap failure, BENCH_NOTES
+                                #   round 5) — keep only the BEARING (point
+                                #   at infinity along the ray);
+                                # - measurable-but-subthreshold parallax:
+                                #   keep the midpoint (an infinity placement
+                                #   would inject wrong zero-parallax
+                                #   translation info — measured to stall the
+                                #   online-extrinsics convergence test).
+                                c_a = T_WC_a_list[p][cam][0]
+                                pt = hp[:3] / w
+                                depth = float(np.linalg.norm(pt - c_a))
+                                bl = float(
+                                    np.linalg.norm(cam_centers_b[cam] - c_a)
+                                )
+                                if depth > 500.0 * max(bl, 1e-9):
+                                    d = pt - c_a
+                                    nd = float(np.linalg.norm(d))
+                                    if nd < 1e-9:
+                                        continue
+                                    hp_inf = np.concatenate([d / nd, [1e-3]])
+                                    estimator.add_landmark(
+                                        lm_id,
+                                        hp_inf / np.linalg.norm(hp_inf),
+                                        initialized=False,
+                                    )
+                                else:
+                                    estimator.add_landmark(
+                                        lm_id, pt, initialized=False
+                                    )
                             else:
-                                # depth-unobservable points enter uninitialized
-                                # (ref canBeInitialized, setBestMatch :398-441)
                                 estimator.add_landmark(
-                                    lm_id, hp[:3] / w,
-                                    initialized=bool(ci_all[p, cam, ia]),
+                                    lm_id, hp[:3] / w, initialized=True
                                 )
                         except RuntimeError:
                             break  # landmark table full

@@ -508,7 +508,13 @@ def test_online_extrinsics_calibration_pipeline():
     rig_bad.overlaps = np.ones((2, 2), bool)
     rig_true = NCameraSystem(specs=tuple(specs), T_SC=T_SC_true, intrinsics=intrinsics)
 
-    traj = simulate_trajectory(duration=3.0, seed=71, motion_scale=0.5)
+    # 4.4 s / 42 frames: round 5's noise-floor rule creates the near-
+    # static early pairs as bearing-only landmarks (parallax < 0.4 px
+    # carries no REAL depth info — the stub's zero-noise observations
+    # made tiny-baseline depths look informative, which no real
+    # detector provides), so convergence needs the post-excitation
+    # frames a 3 s clip barely contains.
+    traj = simulate_trajectory(duration=4.4, seed=71, motion_scale=0.5)
     lms = make_landmarks(traj, 220, seed=72, radius=(3.0, 9.0))
     vio = ThreadedVio(params, rig=rig_bad, blocking=True, dtype=jnp.float64)
     assert vio.estimator.cfg.estimate_extrinsics
@@ -525,7 +531,7 @@ def test_online_extrinsics_calibration_pipeline():
 
     img = np.zeros((480, 752), np.float32)
     imu_i = 0
-    for fi in range(28):
+    for fi in range(42):
         t_ns = int(fi * 0.1 * NS)
         idx = int(round(fi * 0.1 * 200))
         while imu_i < len(traj.ts) and int(traj.ts[imu_i] * NS) <= t_ns + 25_000_000:

@@ -152,3 +152,41 @@ def test_full_vision_multi_octave_detection():
         for mf in vio.estimator.multiframes.values()
         for f in mf.frames
     )
+
+
+@pytest.mark.slow
+def test_mono_gentle_motion_bootstrap():
+    """Monocular real-vision bootstrap under GENTLE periodic excitation —
+    the round-5 regression case: depth-unobservable 2D-2D matches used to
+    create finite junk-depth landmarks whose reprojection factors outvoted
+    the IMU and pinned the trajectory static (est ~mm/frame vs gt
+    ~0.2 m/frame), after which no triangulation ever passed its gates and
+    tracking never initialized (120-frame ATE 15 m, 320-frame 57 m).
+    Bearing-only creation for depth-unobservable matches + the reference's
+    last-frame 2D-2D RANSAC init signal (Frontend.cpp:513-516) fixed it
+    (120-frame ATE 0.33). 60 frames here: pre-fix 2.0 m, post-fix ~0.2."""
+    w = 2 * np.pi / 8.0
+    n_frames = 60
+    traj = simulate_trajectory(
+        duration=(n_frames + 2) * 0.1,
+        seed=41,
+        omega_fn=lambda t: 0.25 * np.array(
+            [np.sin(w * t), np.cos(w * t), np.sin(2 * w * t)]
+        ),
+        acc_w_fn=lambda t: np.array(
+            [0.9 * np.sin(w * t), 0.9 * np.cos(w * t), 0.4 * np.sin(2 * w * t)]
+        ),
+    )
+    lms = make_landmarks(traj, 300, seed=42, radius=(4.0, 9.0))
+
+    specs, T_SC, intrinsics = euroc_stereo_rig()
+    rig = NCameraSystem(
+        specs=(specs[0],),
+        T_SC=kin.SE3(r=T_SC.r[:1], q=T_SC.q[:1]),
+        intrinsics=[intrinsics[0]],
+    )
+    rig.compute_overlaps()
+
+    vio, ate = _run_vision(rig, traj, lms, n_frames=n_frames)
+    assert vio.frontend.is_initialized, "mono bootstrap failed to initialize"
+    assert ate < 0.6, f"gentle-motion mono ATE {ate:.3f} m (pre-fix: 2.0)"
