@@ -62,6 +62,11 @@ class FrontendConfig:
     # and the higher-inlier model wins — 8-point hypotheses are correlated
     # and weak when N barely exceeds the sample size (frontend/fivepoint.py)
     fivepoint_max_corr: int = 24
+    # added in quadrature to every keypoint gate stddev: the image-space
+    # error budget of an UNCALIBRATED rig during online extrinsics
+    # estimation (~focal·sigma_absolute_orientation px). 0 when extrinsics
+    # are fixed/calibrated.
+    gate_extra_px: float = 0.0
 
 
 class Frontend:
@@ -507,6 +512,10 @@ class Frontend:
                 std_a[p, c] = 0.8 / 12.0 * (
                     np.asarray(sizes)[:K] if sizes is not None else 8.0
                 )
+        if cfg.gate_extra_px > 0.0:
+            # uncalibrated-rig error budget (online extrinsics estimation)
+            std_b = np.sqrt(std_b**2 + cfg.gate_extra_px**2)
+            std_a = np.sqrt(std_a**2 + cfg.gate_extra_px**2)
         # keypoints that already carry landmarks: RANSAC candidates too (the
         # reference's noncentral adapter collects all current associations
         # whose landmark has ≥2 observations, FrameNoncentralAbsoluteAdapter
@@ -1003,10 +1012,13 @@ class Frontend:
             K = self.cfg.max_keypoints
 
             def kp_std(f):
-                return 0.8 / 12.0 * (
+                s = 0.8 / 12.0 * (
                     np.asarray(f.sizes)[:K] if f.sizes is not None
                     else np.full(K, 8.0)
                 )
+                if self.cfg.gate_extra_px > 0.0:
+                    s = np.sqrt(s**2 + self.cfg.gate_extra_px**2)
+                return s
 
             from ..utils import syncstats
 

@@ -124,12 +124,25 @@ class ThreadedVio:
             self.estimator.enable_distributed(
                 n_devices=params.optimization.distributed_devices
             )
+        # online calibration: the matching/triangulation gates must admit
+        # the image-space error an uncalibrated rig produces (~focal x
+        # sigma_absolute_orientation px) or stereo landmark creation dies
+        # and tracking collapses with the miscalibration uncorrected (the
+        # reference feeds its pose/extrinsics covariance into the matcher
+        # via UOplus, VioKeyframeWindowMatchingAlgorithm doSetup :127-141 —
+        # this is the static-prior analog; measured on the proxy matrix:
+        # extrinsics/loop 14.8 -> see BENCH_NOTES round 5)
+        gate_extra_px = 0.0
+        if online_calib:
+            focal = float(max(np.asarray(i)[0] for i in self.rig.intrinsics))
+            gate_extra_px = focal * sig_r + focal * sig_t / 4.0
         self.frontend = Frontend(
             self.rig,
             FrontendConfig(
                 detection_threshold=params.optimization.detection_threshold,
                 detection_octaves=params.optimization.detection_octaves,
                 max_keypoints=params.optimization.max_num_keypoints,
+                gate_extra_px=gate_extra_px,
             ),
         )
         self.blocking = blocking

@@ -74,17 +74,24 @@ def scenario_loop(n_frames=320, seed=41, seed_offset=0):
     from okvis_tpu.datasets.synthetic import make_landmarks, simulate_trajectory
 
     w = 2 * np.pi / 8.0  # 8 s period
+    # deterministic excitation ignores the trajectory seed — add a
+    # seed-dependent phase so the 3 "seed draws" are genuinely distinct
+    # trajectories, not reruns of one (round-5 fix: the loop rows' spread
+    # previously came only from thread/float nondeterminism)
+    ph = 0.4 * seed_offset
     traj = simulate_trajectory(
         duration=(n_frames + 2) * FRAME_DT,
         seed=seed + 10 * seed_offset,
         omega_fn=lambda t: 0.25 * np.array(
-            [np.sin(w * t), np.cos(w * t), np.sin(2 * w * t)]
+            [np.sin(w * t + ph), np.cos(w * t - ph), np.sin(2 * w * t + ph)]
         ),
         acc_w_fn=lambda t: np.array(
-            [0.9 * np.sin(w * t), 0.9 * np.cos(w * t), 0.4 * np.sin(2 * w * t)]
+            [0.9 * np.sin(w * t + ph), 0.9 * np.cos(w * t - ph),
+             0.4 * np.sin(2 * w * t + ph)]
         ),
     )
-    lms = make_landmarks(traj, 300, seed=seed + 1, radius=(4.0, 9.0))
+    lms = make_landmarks(traj, 300, seed=seed + 1 + seed_offset,
+                         radius=(4.0, 9.0))
     return traj, lms, None
 
 
@@ -203,9 +210,12 @@ def run_scenario(name: str, seed_offset: int = 0, config: str = "stereo"):
     params.optimization.detection_threshold = 15.0
     if variant.get("extrinsics"):
         # online camera-IMU extrinsics calibration (BASELINE.json config 3,
-        # ref Estimator.cpp:287-307)
-        params.camera_params.sigma_absolute_translation = 0.03
-        params.camera_params.sigma_absolute_orientation = 0.02
+        # ref Estimator.cpp:287-307). Priors sized ~2 sigma of the actual
+        # rig perturbation drawn below (5 mm / 0.005 rad) — the declared
+        # uncertainty also drives the matching-gate inflation, so a prior
+        # far beyond the true miscalibration loosens gates needlessly.
+        params.camera_params.sigma_absolute_translation = 0.012
+        params.camera_params.sigma_absolute_orientation = 0.010
     if variant.get("distributed"):
         params.optimization.distributed_devices = variant["distributed"]
     if variant.get("loop_closure"):
@@ -346,7 +356,15 @@ def main_matrix(scenario_names, configs=None, force_cpu=True):
     configs = configs or list(CONFIG_VARIANTS)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "..", "PROXY_MATRIX.json")
+    # merge into prior results so a subset rerun (e.g. one config after a
+    # fix) updates its rows without discarding the rest of the sweep
     results = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                results = json.load(f)
+        except Exception:
+            results = {}
     print(_HDR)
     failed = False
     for config in configs:
