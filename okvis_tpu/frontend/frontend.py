@@ -884,7 +884,13 @@ class Frontend:
                                 bl = float(
                                     np.linalg.norm(cam_centers_b[cam] - c_a)
                                 )
-                                if depth > 500.0 * max(bl, 1e-9):
+                                # bl < 3 cm: at mm-scale baselines the noisy
+                                # midpoint depth scatters 2..50 m, so SOME
+                                # draws beat the ratio test and the pin
+                                # re-engages stochastically (bimodal mono
+                                # bootstrap) — below a real stereo-scale
+                                # baseline no finite depth is trustworthy
+                                if depth > 500.0 * max(bl, 1e-9) or bl < 0.03:
                                     d = pt - c_a
                                     nd = float(np.linalg.norm(d))
                                     if nd < 1e-9:
