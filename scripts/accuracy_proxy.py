@@ -223,6 +223,9 @@ def run_scenario(name: str, seed_offset: int = 0, config: str = "stereo"):
         params.optimization.distributed_devices = variant["distributed"]
     if variant.get("loop_closure"):
         params.posegraph.enabled = True
+        mi = os.environ.get("OKVIS_PROXY_PGO_MIN_INLIERS")
+        if mi:
+            params.posegraph.min_inliers = int(mi)
 
     specs, T_SC, intrinsics = euroc_stereo_rig()
     if n_cams == 1:
